@@ -1,0 +1,124 @@
+"""Image pyramid + separable Gaussian blur + CLAHE.
+
+TPU-native replacement for ORBextractor::ComputePyramid
+(/root/reference/src/ORBextractor.cc:1227-1252, 8 levels x1.2 via cv::resize),
+the pre-descriptor GaussianBlur(7x7, sigma=2) in computeDescriptors, and the
+cv::CLAHE contrast equalization applied in the Frame ctor
+(/root/reference/src/Frame.cc:366-373).
+
+All shapes are static Python ints so every level compiles once; images are
+float32 [H, W] in [0, 255].
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float) -> List[Tuple[int, int]]:
+    """Static per-level (h, w), matching cv::resize rounding in the reference."""
+    shapes = []
+    for lvl in range(n_levels):
+        inv = 1.0 / (scale_factor ** lvl)
+        shapes.append((int(round(h * inv)), int(round(w * inv))))
+    return shapes
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with static output shape (cv::INTER_LINEAR analogue)."""
+    return jax.image.resize(img, (out_h, out_w), method="bilinear")
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
+    """Returns a list of [h_l, w_l] float32 arrays (level 0 = input)."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    levels = [img]
+    for lvl in range(1, n_levels):
+        # Reference resizes from the previous level, not level 0.
+        levels.append(resize_bilinear(levels[-1], *shapes[lvl]))
+    return levels
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+    r = (ksize - 1) / 2.0
+    x = jnp.arange(ksize, dtype=jnp.float32) - r
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding (BORDER_REFLECT_101)."""
+    k = _gaussian_kernel1d(ksize, sigma)
+    pad = ksize // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    # Vertical pass: conv along rows.
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return x
+
+
+def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 8,
+          n_bins: int = 256) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization.
+
+    Equivalent of cv::createCLAHE(3.0, (8,8)) used on every input frame
+    (/root/reference/src/Frame.cc:305-310, Tracking config UseClahe). Built as
+    dense one-hot histograms per tile (matmul-friendly) + bilinear LUT blend;
+    requires H, W divisible by `grid` (true for 640x480 with grid=8).
+    """
+    h, w = img.shape
+    th, tw = h // grid, w // grid
+    x = jnp.clip(img, 0, 255)
+    tiles = x.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, th * tw)
+    idx = jnp.round(tiles).astype(jnp.int32)
+    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)          # [T, P, B]
+    hist = jnp.sum(onehot, axis=1)                                   # [T, B]
+    # Clip histogram and redistribute excess uniformly (OpenCV semantics).
+    limit = jnp.maximum(clip_limit * (th * tw) / n_bins, 1.0)
+    clipped = jnp.minimum(hist, limit)
+    excess = jnp.sum(hist - clipped, axis=1, keepdims=True)
+    hist_c = clipped + excess / n_bins
+    cdf = jnp.cumsum(hist_c, axis=1)
+    lut = jnp.clip(jnp.round(cdf * (255.0 / (th * tw))), 0, 255)     # [T, B]
+    lut = lut.reshape(grid, grid, n_bins)
+
+    # Bilinear interpolation between the 4 neighbouring tile LUTs.
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / th - 0.5
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, grid - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, grid - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, grid - 1)
+    x1 = jnp.clip(x0 + 1, 0, grid - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
+
+    pix = jnp.round(x).astype(jnp.int32)                             # [H, W]
+
+    def sample(yi, xi):
+        # lut[yi, xi] per pixel: gather [H, W, B] is huge; instead gather per
+        # pixel bin directly: lut[yi[:,None], xi[None,:], pix]
+        return lut[yi[:, None], xi[None, :], pix]
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x1)
+    v10 = sample(y1, x0)
+    v11 = sample(y1, x1)
+    out = (
+        (1 - wy) * ((1 - wx) * v00 + wx * v01)
+        + wy * ((1 - wx) * v10 + wx * v11)
+    )
+    return out
