@@ -12,3 +12,12 @@ modules in this package.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM geometry (Rodrigues/GN/Schur solves) needs true float32 matmuls; the
+# default matmul precision on TPU (and this CPU backend) is bf16-grade, which
+# corrupts rotation compositions at the 1e-2 level. Hot kernels that *want*
+# bf16 (e.g. Hamming descriptor matmuls, ops/matching.py) cast their inputs
+# to bfloat16 explicitly, so they keep full MXU throughput.
+_jax.config.update("jax_default_matmul_precision", "highest")
