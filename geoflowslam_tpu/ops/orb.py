@@ -39,7 +39,8 @@ def _circular_masks():
     disc = (us * us + vs * vs) <= (HALF_PATCH * HALF_PATCH + HALF_PATCH * 0.5)
     mx = (us * disc).astype(np.float32)
     my = (vs * disc).astype(np.float32)
-    return jnp.asarray(mx), jnp.asarray(my)
+    # numpy (not jnp): module-level cache must hold constants, never tracers
+    return mx, my
 
 
 _MX, _MY = None, None
@@ -91,10 +92,10 @@ def _brief_pattern(seed: int = 12345) -> np.ndarray:
 _PATTERN = None
 
 
-def get_pattern() -> jnp.ndarray:
+def get_pattern() -> np.ndarray:
     global _PATTERN
     if _PATTERN is None:
-        _PATTERN = jnp.asarray(_brief_pattern())
+        _PATTERN = _brief_pattern()  # numpy constant (jit-safe cache)
     return _PATTERN
 
 

@@ -1,0 +1,108 @@
+"""Point-cloud primitives: depth back-projection, voxel downsample, normals.
+
+TPU-native replacement for the PCL/small_gicp cloud utilities used by the
+reference: Frame::ConvertDepthToPointCloud (/root/reference/src/Frame.cc:590,
+10 m depth cutoff), LidarMapping::generatePointCloud (every 3rd pixel
+back-projection, src/LidarMapping.cc:82-105), pcl::VoxelGrid filtering and
+small_gicp's voxelgrid_sampling + covariance estimation
+(Thirdparty/small_gicp/include/small_gicp/ann,util).
+
+Fixed-capacity design: clouds are [P, 3] padded arrays + masks. Voxel
+downsampling = key sort + first-per-voxel compaction (deterministic);
+kNN = brute-force distance matrix on the MXU (P <= 4096 after downsampling,
+a [P, P] matmul is microseconds on TPU — no KdTree needed).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def depth_to_cloud(depth: jnp.ndarray, fx, fy, cx, cy, stride: int = 3,
+                   max_depth: float = 10.0, min_depth: float = 0.05):
+    """Back-project a depth image [H, W] -> ([P,3] points, [P] mask), with
+    P = (H//stride) * (W//stride) static."""
+    h, w = depth.shape
+    d = depth[::stride, ::stride]
+    hs, ws = d.shape
+    ys = (jnp.arange(hs, dtype=depth.dtype) * stride)[:, None]
+    xs = (jnp.arange(ws, dtype=depth.dtype) * stride)[None, :]
+    z = d
+    x = (xs - cx) / fx * z
+    y = (ys - cy) / fy * z
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    mask = ((z > min_depth) & (z < max_depth) & jnp.isfinite(z)).reshape(-1)
+    return pts, mask
+
+
+INVALID_KEY = jnp.int32(0x7FFFFFFF)
+
+
+def _voxel_keys(pts: jnp.ndarray, valid: jnp.ndarray, voxel: float):
+    """Integer voxel key per point (invalid -> huge key, sorts last).
+
+    int32 packing, 10 bits/axis (x64 is unavailable on this platform): voxel
+    coordinates are clipped to a 1024^3 grid centred at the origin — ±25 m at
+    the default 0.05 m voxel, comfortably beyond RGB-D range."""
+    ijk = jnp.clip(jnp.floor(pts / voxel).astype(jnp.int32) + 512, 0, 1023)
+    key = (ijk[:, 0] << 20) | (ijk[:, 1] << 10) | ijk[:, 2]
+    return jnp.where(valid, key, INVALID_KEY)
+
+
+def voxel_downsample(pts: jnp.ndarray, valid: jnp.ndarray, voxel: float,
+                     max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keep one point per voxel (first after sort), compact to [max_out].
+
+    Deterministic analogue of small_gicp::voxelgrid_sampling (0.02 m in
+    RegistrationGICP, /root/reference/src/RegistrationGICP.cc:10)."""
+    key = _voxel_keys(pts, valid, voxel)
+    order = jnp.argsort(key)
+    ks = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    first = first & (ks != INVALID_KEY)
+    # compact: stable-sort selected to front
+    rank = jnp.argsort(~first, stable=True)
+    sel = order[rank[:max_out]]
+    out_valid = first[rank[:max_out]]
+    return pts[sel], out_valid
+
+
+def knn_indices(query: jnp.ndarray, q_valid: jnp.ndarray, target: jnp.ndarray,
+                t_valid: jnp.ndarray, k: int):
+    """Brute-force kNN: [Q,k] indices + [Q,k] validity, MXU distance matrix."""
+    d2 = (
+        jnp.sum(query * query, axis=1)[:, None]
+        - 2.0 * query @ target.T
+        + jnp.sum(target * target, axis=1)[None, :]
+    )
+    d2 = jnp.where(t_valid[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    ok = jnp.isfinite(-neg) & q_valid[:, None]
+    return idx, -neg, ok
+
+
+def estimate_covariances(pts: jnp.ndarray, valid: jnp.ndarray, k: int = 10,
+                         eps: float = 1e-3):
+    """Per-point kNN covariance (small_gicp::estimate_covariances), with the
+    GICP plane-regularization (eigenvalues -> [1, 1, eps])."""
+    idx, _, ok = knn_indices(pts, valid, pts, valid, k)
+    nb = pts[idx]                                       # [P,k,3]
+    w = ok.astype(pts.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(nb * w[..., None], axis=1) / n
+    c = nb - mean[:, None, :]
+    cov = jnp.einsum("pk,pki,pkj->pij", w, c, c) / n[..., None]
+    # regularize: replace eigenvalues by [eps, 1, 1] (plane-to-plane GICP)
+    vals, vecs = jnp.linalg.eigh(cov)
+    reg = jnp.stack([jnp.full_like(vals[:, 0], eps),
+                     jnp.ones_like(vals[:, 0]),
+                     jnp.ones_like(vals[:, 0])], axis=1)
+    cov_reg = jnp.einsum("pij,pj,pkj->pik", vecs, reg, vecs)
+    normal = vecs[:, :, 0]                              # smallest-eig direction
+    return cov_reg, normal
+
+
+def transform_cloud(rot, t, pts):
+    return pts @ rot.T + t

@@ -1,0 +1,299 @@
+"""Local-mapping stage: map maintenance + windowed bundle adjustment.
+
+TPU-native re-expression of the LocalMapping thread
+(/root/reference/src/LocalMapping.cc): instead of a queue-consuming thread,
+a jit-compiled `local_mapping_step` invoked by the host after each KF
+insertion performs (in the reference's order, LocalMapping::Run :89-412):
+
+* duplicate fusion within the covisibility neighbourhood (SearchInNeighbors
+  :1129) — here a descriptor+reprojection merge over the incidence tables,
+* local BA over the covisibility window with fixed 1-ring
+  (LocalBundleAdjustment dispatch :184-247 -> solvers/local_ba.py),
+* map-point culling (MapPointCulling :467),
+* (keyframe culling handled by the host on scalar stats: KeyFrameCulling :1302)
+
+Monocular triangulation of new points (CreateNewMapPoints :803) lives in
+`triangulate_new_points`; the RGB-D path creates points at KF insertion
+(pipeline/tracking.py::create_keyframe) as the reference does.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geoflowslam_tpu.math import lie, triangulate
+from geoflowslam_tpu.ops import matching
+from geoflowslam_tpu.solvers import local_ba
+from geoflowslam_tpu.state import map_state as M
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 320.0
+    cy: float = 240.0
+    bf: float = 40.0
+    scale_factor: float = 1.2
+    window_opt: int = 8      # optimized KFs (covisibility window)
+    window_fixed: int = 4    # fixed anchor KFs (1-ring)
+    ba_max_pts: int = 1024   # landmark slots in the BA problem
+    cull_found_ratio: float = 0.25
+    cull_min_obs: int = 2
+
+
+def _inv_sigma2(levels, scale_factor):
+    return 1.0 / (scale_factor ** levels.astype(jnp.float32)) ** 2
+
+
+# ---------------------------------------------------------------------------
+# BA window extraction / write-back
+# ---------------------------------------------------------------------------
+
+def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig):
+    """Pick the optimized window (top covisible KFs of center) + fixed ring.
+
+    Returns (kf_idx [KW], kf_in_window [KW] bool, kf_fixed [KW] bool)."""
+    kw = cfg.window_opt + cfg.window_fixed
+    cov = M.covisibility(ms)
+    row = cov[center_kf] * ms.kf_valid * (ms.kf_map_id == ms.active_map)
+    row = row.at[center_kf].set(1 << 20)  # center always first
+    vals, idx = jax.lax.top_k(row, cfg.window_opt)
+    opt_mask_k = jnp.zeros((ms.k_max,), bool).at[idx].set(vals > 0)
+
+    # fixed ring: KFs covisible with the window but not in it
+    inc = M.observation_incidence(ms)
+    window_mps = (jnp.einsum("k,km->m", opt_mask_k.astype(jnp.float32), inc) > 0)
+    sees_window = (jnp.einsum("km,m->k", inc, window_mps.astype(jnp.float32)) > 0)
+    ring = sees_window & ~opt_mask_k & ms.kf_valid
+    rvals, ridx = jax.lax.top_k(ring.astype(jnp.int32) * (1 + cov[center_kf]),
+                                cfg.window_fixed)
+    kf_idx = jnp.concatenate([idx, ridx])
+    in_win = jnp.concatenate([vals > 0, rvals > 0])
+    fixed = jnp.concatenate([jnp.zeros((cfg.window_opt,), bool),
+                             jnp.ones((cfg.window_fixed,), bool)])
+    # Always anchor: fix the oldest optimized KF if no fixed KFs exist
+    any_fixed = jnp.any(fixed & in_win)
+    fixed = fixed.at[0].set(jnp.where(any_fixed, fixed[0], False))
+    # reference fixes KF 0 whenever it is in the window; emulate by fixing
+    # the lowest-timestamp member when there is no ring
+    oldest = jnp.argmin(jnp.where(in_win, ms.kf_time[kf_idx], jnp.inf))
+    fixed = jnp.where(any_fixed, fixed, fixed.at[oldest].set(True))
+    return kf_idx, in_win, fixed
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
+    """Extract the covisibility window, run Schur BA, write back."""
+    kf_idx, in_win, fixed = _select_window(ms, center_kf, cfg)
+    kw = kf_idx.shape[0]
+
+    # landmarks: points seen by optimized-window KFs
+    inc = M.observation_incidence(ms)
+    opt_sel = (in_win & ~fixed).astype(jnp.float32)
+    w_opt = jnp.zeros((ms.k_max,)).at[kf_idx].add(opt_sel)
+    mp_score = jnp.einsum("k,km->m", w_opt, inc) * ms.mp_valid
+    mvals, mp_idx = jax.lax.top_k(mp_score, cfg.ba_max_pts)
+    mp_in = mvals > 0
+    # mp slot -> local index lookup
+    lookup = jnp.full((ms.m_max + 1,), -1, jnp.int32)
+    lookup = lookup.at[mp_idx].set(jnp.arange(cfg.ba_max_pts, dtype=jnp.int32))
+
+    # observations: for each window KF and each of its keypoints
+    obs = ms.kf_obs_mp[kf_idx]                      # [KW, N]
+    kp_valid = ms.kf_kp_valid[kf_idx]
+    local_m = lookup[jnp.clip(obs, -1, ms.m_max)]   # [KW, N] (-1 if not in BA)
+    has = (obs >= 0) & (local_m >= 0) & kp_valid & in_win[:, None]
+
+    uv_kp = ms.kf_uv[kf_idx]
+    lvl_kp = ms.kf_level[kf_idx]
+    d_kp = ms.kf_depth[kf_idx]
+    ur_kp = jnp.where(d_kp > 0, uv_kp[..., 0] - cfg.bf / jnp.maximum(d_kp, 1e-6), -1.0)
+
+    ml = cfg.ba_max_pts
+    tgt = jnp.where(has, local_m, ml)               # OOB drop for absent
+    kk = jnp.broadcast_to(jnp.arange(kw)[:, None], obs.shape)
+
+    uv = jnp.zeros((kw, ml, 2))
+    uv = uv.at[kk, tgt].set(uv_kp, mode="drop")
+    urg = jnp.zeros((kw, ml))
+    urg = urg.at[kk, tgt].set(ur_kp, mode="drop")
+    sig = jnp.zeros((kw, ml))
+    sig = sig.at[kk, tgt].set(_inv_sigma2(lvl_kp, cfg.scale_factor), mode="drop")
+    ovalid = jnp.zeros((kw, ml), bool)
+    ovalid = ovalid.at[kk, tgt].set(True, mode="drop")
+
+    prob = local_ba.BAProblem(
+        kf_rot=ms.kf_rot[kf_idx], kf_t=ms.kf_t[kf_idx],
+        kf_fixed=fixed | ~in_win, kf_valid=in_win,
+        pts=ms.mp_pos[mp_idx], pt_valid=mp_in,
+        uv=uv, u_right=urg, is_stereo=urg > 0,
+        inv_sigma2=sig, obs_valid=ovalid,
+    )
+    out, obs_inl = local_ba.local_bundle_adjustment(
+        prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+
+    # write back poses & points
+    upd = in_win & ~fixed
+    ms = ms._replace(
+        kf_rot=ms.kf_rot.at[kf_idx].set(
+            jnp.where(upd[:, None, None], out.kf_rot, ms.kf_rot[kf_idx])),
+        kf_t=ms.kf_t.at[kf_idx].set(
+            jnp.where(upd[:, None], out.kf_t, ms.kf_t[kf_idx])),
+        mp_pos=ms.mp_pos.at[mp_idx].set(
+            jnp.where(mp_in[:, None], out.pts, ms.mp_pos[mp_idx])),
+    )
+
+    # prune outlier observations (reference erases outlier edges post-BA)
+    bad = ovalid & ~obs_inl                          # [KW, ML]
+    bad_kp = bad[kk, jnp.where(has, local_m, 0)] & has
+    new_obs = jnp.where(bad_kp, M.NO_MP, obs)
+    ms = ms._replace(kf_obs_mp=ms.kf_obs_mp.at[kf_idx].set(new_obs))
+    return ms, jnp.sum(ovalid).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Map-point culling + fusion
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cull_step(ms: M.MapState) -> M.MapState:
+    return M.cull_map_points(ms)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
+    """SearchInNeighbors essence: map points of the center KF that project
+    onto another point's observation in a neighbour KF with a close
+    descriptor get merged (keep the older slot)."""
+    # Project center KF's points into each covisible KF and find keypoints
+    # already bound to a different mp with a similar descriptor.
+    cov = M.covisibility(ms)
+    row = cov[center_kf] * ms.kf_valid
+    _, nb = jax.lax.top_k(row, 5)
+
+    def fuse_into(ms, kf):
+        obs_c = ms.kf_obs_mp[center_kf]
+        valid_c = obs_c >= 0
+        mp = jnp.maximum(obs_c, 0)
+        pts = ms.mp_pos[mp]
+        rot, t = ms.kf_rot[kf], ms.kf_t[kf]
+        pc = pts @ rot.T + t
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+        u = cfg.fx * pc[:, 0] / z + cfg.cx
+        v = cfg.fy * pc[:, 1] / z + cfg.cy
+        uv = jnp.stack([u, v], axis=1)
+        inb = (z > 0.1) & (u >= 0) & (u < 2 * cfg.cx) & (v >= 0) & (v < 2 * cfg.cy)
+        q_valid = valid_c & inb & ms.kf_valid[kf]
+        radius = jnp.full((obs_c.shape[0],), 3.0)
+        m_idx, m_dist = matching.search_by_projection(
+            uv, jnp.zeros_like(obs_c), q_valid, ms.mp_desc[mp],
+            ms.kf_uv[kf], ms.kf_level[kf], ms.kf_desc[kf],
+            ms.kf_kp_valid[kf], radius, max_dist=matching.TH_LOW)
+        other = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
+        dup = (m_idx >= 0) & (other >= 0) & (other != mp)
+        # merge: replace our mp with theirs everywhere (keep earlier slot id)
+        keep = jnp.where(other < mp, other, mp)
+        drop = jnp.where(other < mp, mp, other)
+        # relabel all observations of `drop` -> `keep`
+        relabel = jnp.arange(ms.m_max, dtype=jnp.int32)
+        relabel = relabel.at[jnp.where(dup, drop, ms.m_max)].set(
+            jnp.where(dup, keep, 0).astype(jnp.int32), mode="drop")
+        new_obs_all = jnp.where(ms.kf_obs_mp >= 0,
+                                relabel[jnp.maximum(ms.kf_obs_mp, 0)],
+                                ms.kf_obs_mp)
+        dead = jnp.zeros((ms.m_max,), bool).at[jnp.where(dup, drop, ms.m_max)].set(
+            True, mode="drop")
+        return ms._replace(kf_obs_mp=new_obs_all,
+                           mp_valid=ms.mp_valid & ~dead)
+
+    for i in range(5):
+        ms = fuse_into(ms, nb[i])
+    return ms
+
+
+# ---------------------------------------------------------------------------
+# Monocular triangulation of new points (CreateNewMapPoints)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_new_points(ms: M.MapState, center_kf, cfg: MappingConfig,
+                           max_new: int = 256):
+    """Match unbound keypoints of the center KF against its best covisible
+    neighbour (descriptor NN + epipolar gating) and triangulate."""
+    cov = M.covisibility(ms)
+    row = cov[center_kf] * ms.kf_valid
+    nb = jnp.argmax(row)
+
+    n = ms.n_kp
+    desc_c = ms.kf_desc[center_kf]
+    desc_n = ms.kf_desc[nb]
+    free_c = ms.kf_kp_valid[center_kf] & (ms.kf_obs_mp[center_kf] == M.NO_MP)
+    free_n = ms.kf_kp_valid[nb] & (ms.kf_obs_mp[nb] == M.NO_MP)
+    m_idx, m_dist = matching.match_descriptors(
+        desc_c, free_c, desc_n, free_n, max_dist=matching.TH_LOW,
+        ratio=0.8, mutual=True)
+
+    # rays in each camera
+    uv_c = ms.kf_uv[center_kf]
+    uv_n = ms.kf_uv[nb][jnp.maximum(m_idx, 0)]
+    rays_c = jnp.stack([(uv_c[:, 0] - cfg.cx) / cfg.fx,
+                        (uv_c[:, 1] - cfg.cy) / cfg.fy,
+                        jnp.ones(n)], axis=1)
+    rays_n = jnp.stack([(uv_n[:, 0] - cfg.cx) / cfg.fx,
+                        (uv_n[:, 1] - cfg.cy) / cfg.fy,
+                        jnp.ones(n)], axis=1)
+    # relative pose: T_nc = T_n * T_c^-1 (center cam as reference frame)
+    rc, tc = ms.kf_rot[center_kf], ms.kf_t[center_kf]
+    rn, tn = ms.kf_rot[nb], ms.kf_t[nb]
+    rci, tci = lie.se3_inverse(rc, tc)
+    r_nc, t_nc = lie.se3_compose(rn, tn, rci, tci)
+    pts_c, tri_ok = triangulate.triangulate_points(rays_c, rays_n, r_nc, t_nc)
+
+    # reprojection checks in both views
+    def reproj_err(rays, pts):
+        z = jnp.where(jnp.abs(pts[:, 2]) < 1e-6, 1e-6, pts[:, 2])
+        return jnp.linalg.norm(pts[:, :2] / z[:, None] - rays[:, :2], axis=1) * cfg.fx
+
+    e1 = reproj_err(rays_c, pts_c)
+    pts_n = pts_c @ r_nc.T + t_nc
+    e2 = reproj_err(rays_n, pts_n)
+    # parallax gate: baseline/depth
+    baseline = jnp.linalg.norm(t_nc)
+    good = ((m_idx >= 0) & tri_ok & (e1 < 2.0) & (e2 < 2.0)
+            & (pts_c[:, 2] > 0.1) & (pts_c[:, 2] < 50.0)
+            & (baseline / jnp.maximum(pts_c[:, 2], 1e-3) > 0.01))
+
+    # world coords: X_w = T_c^-1 X_c
+    pts_w = pts_c @ rci.T + tci
+    # cap count
+    _, order = jax.lax.top_k(good.astype(jnp.float32)
+                             - 1e-3 * jnp.arange(n, dtype=jnp.float32), max_new)
+    sel = jnp.zeros((n,), bool).at[order].set(True)
+    make = good & sel
+
+    mp_slots = M.free_mp_slots(ms, n)
+    new_ids = jnp.where(make, mp_slots, M.NO_MP)
+
+    cam_c_w = tci
+    d = pts_w - cam_c_w
+    dist = jnp.linalg.norm(d, axis=1)
+    normal = d / jnp.maximum(dist[:, None], 1e-6)
+    lvl = ms.kf_level[center_kf]
+    level_sf = cfg.scale_factor ** lvl.astype(jnp.float32)
+    max_d = dist * level_sf
+    min_d = max_d / (cfg.scale_factor ** 7)
+
+    ms = M.add_map_points(ms, mp_slots, pts_w, desc_c, normal, min_d, max_d,
+                          center_kf, make)
+    # bind observations in both KFs
+    obs_c_new = jnp.where(make, new_ids, ms.kf_obs_mp[center_kf])
+    ms = ms._replace(kf_obs_mp=ms.kf_obs_mp.at[center_kf].set(obs_c_new))
+    tgt = jnp.where(make & (m_idx >= 0), m_idx, n)
+    obs_nb = ms.kf_obs_mp[nb].at[tgt].set(new_ids, mode="drop")
+    ms = ms._replace(kf_obs_mp=ms.kf_obs_mp.at[nb].set(obs_nb))
+    return ms, jnp.sum(make).astype(jnp.int32)

@@ -1,0 +1,246 @@
+"""System façade: the host orchestrator sequencing jit-compiled stages.
+
+TPU-native re-expression of System + the Tracking state machine
+(/root/reference/src/System.cc, src/Tracking.cc:2042-2695 Track()): the
+reference runs Tracking/LocalMapping/LoopClosing as mutex-synchronized
+threads; here they are deterministic jitted stage calls sequenced by this
+host class, which holds only cheap scalar state (the eTrackingState enum,
+KF cadence counters, the motion model) and the device-resident MapState.
+
+Per-frame flow (Tracking::Track parity):
+  build_frame -> [init | motion-model track -> local-map track]
+  -> NeedNewKeyFrame -> create_keyframe -> local-mapping step
+  (fuse + local BA + cull) -> trajectory bookkeeping.
+
+IMU/odometry prediction and loop closing plug in via the same pattern
+(pipeline/inertial.py, pipeline/loop_closing.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time as _time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoflowslam_tpu.math import lie
+from geoflowslam_tpu.state import map_state as M
+from geoflowslam_tpu.state.frame import FrameConfig, FrameData, build_frame
+from geoflowslam_tpu.pipeline import tracking as T
+from geoflowslam_tpu.pipeline import local_mapping as LM
+
+
+class TrackingState(enum.Enum):
+    NOT_INITIALIZED = 0   # eTrackingState NO_IMAGES_YET/NOT_INITIALIZED
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 320.0
+    cy: float = 240.0
+    bf: float = 40.0
+    frame: FrameConfig = FrameConfig()
+    k_max: int = 32
+    m_max: int = 8192
+    # KF policy (NeedNewKeyFrame analogues)
+    kf_min_interval: int = 3
+    kf_max_interval: int = 15
+    kf_tracked_ratio: float = 0.80
+    min_inliers_ok: int = 15
+    time_recently_lost: float = 5.0
+    local_ba_every_kf: bool = True
+
+    def track_cfg(self) -> T.TrackConfig:
+        return T.TrackConfig(
+            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy, bf=self.bf,
+            n_levels=self.frame.orb.n_levels,
+            scale_factor=self.frame.orb.scale_factor)
+
+    def map_cfg(self) -> LM.MappingConfig:
+        return LM.MappingConfig(
+            fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy, bf=self.bf,
+            scale_factor=self.frame.orb.scale_factor)
+
+
+class SlamSystem:
+    """RGB-D (mono support via pipeline/mono_init) SLAM system."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.tcfg = cfg.track_cfg()
+        self.mcfg = cfg.map_cfg()
+        self.ms = M.create(cfg.k_max, cfg.frame.orb.n_features, cfg.m_max)
+        self.state = TrackingState.NOT_INITIALIZED
+
+        self.cur_rot = jnp.eye(3)
+        self.cur_t = jnp.zeros(3)
+        self.vel = (jnp.eye(3), jnp.zeros(3))    # Tcl: cur-from-last
+        self.has_vel = False
+        self.last_obs_mp: Optional[jnp.ndarray] = None
+        self.ref_kf: int = 0
+        self.ref_kf_inliers: int = 0
+        self.frames_since_kf = 0
+        self.last_time = 0.0
+        self.lost_since: Optional[float] = None
+        self.n_frames = 0
+        self.n_lost = 0
+
+        self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
+
+        self._build_frame = jax.jit(
+            lambda g, d: build_frame(g, d, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
+
+    # -- public API (System::TrackRGBD analogue) ---------------------------
+
+    def track_rgbd(self, gray, depth, timestamp: float):
+        frame = self._build_frame(jnp.asarray(gray, jnp.float32),
+                                  jnp.asarray(depth, jnp.float32))
+        return self._track(frame, timestamp)
+
+    # -- internals ---------------------------------------------------------
+
+    def _track(self, frame: FrameData, timestamp: float):
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._initialize(frame, timestamp)
+        else:
+            self._track_frame(frame, timestamp)
+
+        self.last_time = timestamp
+        self.n_frames += 1
+        self._record_pose(timestamp)
+        return self.current_pose_wc()
+
+    def _initialize(self, frame: FrameData, timestamp: float):
+        ms, kf_slot, res = T.stereo_initialization(
+            self.ms, frame, jnp.float32(timestamp), self.tcfg)
+        n = int(res.n_inliers)
+        if n < 50:
+            return  # not enough depth points; wait for a better frame
+        self.ms = ms
+        self.cur_rot, self.cur_t = res.rot, res.t
+        self.last_obs_mp = res.obs_mp
+        self.ref_kf = int(kf_slot)
+        self.ref_kf_inliers = n
+        self.frames_since_kf = 0
+        self.state = TrackingState.OK
+
+    def _track_frame(self, frame: FrameData, timestamp: float):
+        # pose prediction: motion model (IMU/odom predictors plug in here)
+        if self.has_vel:
+            pr, pt = lie.se3_compose(self.vel[0], self.vel[1],
+                                     self.cur_rot, self.cur_t)
+        else:
+            pr, pt = self.cur_rot, self.cur_t
+
+        last_rot, last_t = self.cur_rot, self.cur_t
+
+        res = T.track_with_motion_model(
+            self.ms, frame, self.last_obs_mp, pr, pt, self.tcfg)
+        n1 = int(res.n_inliers)
+        if n1 < self.cfg.min_inliers_ok:
+            # fallback: search wider from the unpredicted pose
+            # (TrackReferenceKeyFrame analogue without BoW: projection search
+            # from the last pose with a larger radius)
+            wide = dataclasses.replace(self.tcfg, search_radius_mm=40.0)
+            res = T.track_with_motion_model(
+                self.ms, frame, self.last_obs_mp, last_rot, last_t, wide)
+            n1 = int(res.n_inliers)
+
+        if n1 >= self.cfg.min_inliers_ok:
+            self.ms, res2 = T.track_local_map(
+                self.ms, frame, res.obs_mp, res.rot, res.t,
+                jnp.int32(self.ref_kf), self.tcfg)
+            n2 = int(res2.n_inliers)
+        else:
+            res2, n2 = res, n1
+
+        if n2 >= self.cfg.min_inliers_ok:
+            self.state = TrackingState.OK
+            self.lost_since = None
+            self.cur_rot, self.cur_t = res2.rot, res2.t
+            self.last_obs_mp = res2.obs_mp
+            # motion model: Tcl = Tcw * Tlw^-1
+            lri, lti = lie.se3_inverse(last_rot, last_t)
+            self.vel = lie.se3_compose(self.cur_rot, self.cur_t, lri, lti)
+            self.has_vel = True
+            self.frames_since_kf += 1
+            if self._need_new_keyframe(frame, n2):
+                self._insert_keyframe(frame, timestamp, res2)
+        else:
+            self.n_lost += 1
+            self.has_vel = False
+            if self.state == TrackingState.OK:
+                self.state = TrackingState.RECENTLY_LOST
+                self.lost_since = timestamp
+            elif (self.state == TrackingState.RECENTLY_LOST
+                  and self.lost_since is not None
+                  and timestamp - self.lost_since > self.cfg.time_recently_lost):
+                self.state = TrackingState.LOST
+                self._reset_or_new_map(frame, timestamp)
+
+    def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (src/Tracking.cc:3856) essentials."""
+        if self.frames_since_kf < self.cfg.kf_min_interval:
+            return False
+        if self.frames_since_kf >= self.cfg.kf_max_interval:
+            return True
+        ref = max(self.ref_kf_inliers, 1)
+        return n_inliers < self.cfg.kf_tracked_ratio * ref
+
+    def _insert_keyframe(self, frame: FrameData, timestamp: float,
+                         res: T.TrackResult):
+        ms, kf_slot, n_new = T.create_keyframe(
+            self.ms, frame, res.rot, res.t, jnp.float32(timestamp),
+            res.obs_mp, jnp.int32(self.ref_kf), self.tcfg)
+        self.ms = ms
+        self.ref_kf = int(kf_slot)
+        self.ref_kf_inliers = int(res.n_inliers)
+        self.frames_since_kf = 0
+        # local-mapping stage (synchronous, deterministic)
+        if self.cfg.local_ba_every_kf:
+            self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
+        self.ms = LM.cull_step(self.ms)
+        # refresh last_obs after culling: drop dead references
+        mp_valid = self.ms.mp_valid
+        obs = self.ms.kf_obs_mp[kf_slot]
+        self.last_obs_mp = jnp.where(
+            (obs >= 0) & mp_valid[jnp.maximum(obs, 0)], obs, M.NO_MP)
+
+    def _reset_or_new_map(self, frame: FrameData, timestamp: float):
+        """Atlas recovery: start a new map (Tracking::CreateMapInAtlas)."""
+        n_kfs = int(jnp.sum(self.ms.kf_valid
+                            & (self.ms.kf_map_id == self.ms.active_map)))
+        if n_kfs >= 10:
+            self.ms = M.create_new_map(self.ms)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.has_vel = False
+        self.last_obs_mp = None
+
+    # -- output ------------------------------------------------------------
+
+    def current_pose_wc(self) -> np.ndarray:
+        """Twc 4x4 (camera-to-world)."""
+        ri, ti = lie.se3_inverse(self.cur_rot, self.cur_t)
+        out = np.eye(4, dtype=np.float64)
+        out[:3, :3] = np.asarray(ri)
+        out[:3, 3] = np.asarray(ti)
+        return out
+
+    def _record_pose(self, timestamp: float):
+        self.trajectory.append((timestamp, self.current_pose_wc()))
+
+    def map_stats(self):
+        return {
+            "n_kfs": int(jnp.sum(self.ms.kf_valid)),
+            "n_mps": int(jnp.sum(self.ms.mp_valid)),
+            "n_maps": int(self.ms.n_maps),
+            "state": self.state.name,
+        }

@@ -1,0 +1,264 @@
+"""Visual-inertial pose optimization + IMU initialization solvers.
+
+TPU-native replacement for the inertial g2o machinery:
+* PoseInertialOptimizationLastKeyFrame / LastFrame
+  (/root/reference/src/Optimizer.cc:5899, :6762) — current-frame
+  (pose, velocity, bias) GN against the last state through the
+  preintegrated IMU factor (EdgeInertial, include/G2oTypes.h:458) +
+  bias random walk (EdgeGyroRW/EdgeAccRW :719-819) + reprojection terms.
+* InertialOptimization (gravity/bias/scale estimation, Optimizer.cc:4489+)
+  used by LocalMapping::InitializeIMU — here a closed-form linear solve for
+  (gravity, per-KF velocities, scale) after a gyro-bias GN, the standard
+  VI-init decomposition (also covers the reference's VIG-Init/methods.h
+  closed-form alternatives).
+
+State convention: body pose (R_wb, p_wb) + velocity v_w + bias (bg, ba).
+Camera reprojection goes through the body->cam extrinsic T_cb.
+Jacobians of the inertial terms come from jax.jacfwd over the 15-dim tangent
+(right-multiplicative on R_wb) — exact, and cheap at this size.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from geoflowslam_tpu.math import lie
+from geoflowslam_tpu.imu import preintegration as pre
+from geoflowslam_tpu.solvers.pose_opt import (
+    CHI2_MONO, CHI2_STEREO, HUBER_MONO, HUBER_STEREO, PoseObs, _huber_w,
+)
+
+
+class BodyState(NamedTuple):
+    r_wb: jnp.ndarray   # [3,3]
+    p: jnp.ndarray      # [3]
+    v: jnp.ndarray      # [3]
+    bg: jnp.ndarray     # [3]
+    ba: jnp.ndarray     # [3]
+
+
+def apply_tangent(s: BodyState, d: jnp.ndarray) -> BodyState:
+    """Right-multiplicative 15-dim update (ImuCamPose::Update convention)."""
+    return BodyState(
+        r_wb=s.r_wb @ lie.so3_exp(d[0:3]),
+        p=s.p + s.r_wb @ d[3:6],
+        v=s.v + d[6:9],
+        bg=s.bg + d[9:12],
+        ba=s.ba + d[12:15],
+    )
+
+
+def cam_pose_from_body(s: BodyState, r_cb: jnp.ndarray, t_cb: jnp.ndarray):
+    """T_cw = T_cb * T_bw."""
+    r_bw = s.r_wb.T
+    t_bw = -r_bw @ s.p
+    rot = r_cb @ r_bw
+    t = r_cb @ t_bw + t_cb
+    return rot, t
+
+
+def inertial_residual(s1: BodyState, s2: BodyState, p: pre.Preintegrated,
+                      gravity=pre.GRAVITY):
+    """EdgeInertial 9-dim residual (G2oTypes.cc EdgeInertial::computeError),
+    using s1's bias through the preintegration bias Jacobians."""
+    bias = jnp.concatenate([s1.bg, s1.ba])
+    dR = pre.delta_rotation(p, bias)
+    dV = pre.delta_velocity(p, bias)
+    dP = pre.delta_position(p, bias)
+    dt = p.dt
+    er = lie.so3_log(dR.T @ s1.r_wb.T @ s2.r_wb)
+    ev = s1.r_wb.T @ (s2.v - s1.v - gravity * dt) - dV
+    ep = s1.r_wb.T @ (s2.p - s1.p - s1.v * dt - 0.5 * gravity * dt * dt) - dP
+    return jnp.concatenate([er, ev, ep])
+
+
+def _reproj_residual_body(s: BodyState, obs: PoseObs, r_cb, t_cb,
+                          fx, fy, cx, cy, bf):
+    rot, t = cam_pose_from_body(s, r_cb, t_cb)
+    pc = obs.pts_w @ rot.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = fx * pc[:, 0] / zs + cx
+    v = fy * pc[:, 1] / zs + cy
+    ur = u - bf / zs
+    r = jnp.stack([obs.uv[:, 0] - u, obs.uv[:, 1] - v,
+                   jnp.where(obs.is_stereo, obs.u_right - ur, 0.0)], axis=1)
+    return r, z
+
+
+def inertial_pose_optimization(
+    s2: BodyState, s1: BodyState, preint: pre.Preintegrated,
+    obs: PoseObs, r_cb, t_cb, fx, fy, cx, cy, bf=0.0,
+    calib: Optional[pre.ImuCalib] = None,
+    prior_s2: Optional[BodyState] = None, prior_info: Optional[jnp.ndarray] = None,
+    rounds: int = 4, iters: int = 10,
+):
+    """Optimize the current body state s2; s1 (last KF/frame) is fixed.
+
+    Mirrors PoseInertialOptimizationLastKeyFrame: 4 rounds of GN with
+    chi-square re-gating of reprojection edges between rounds. Returns
+    (s2, inlier_mask, n_inliers).
+    """
+    info9 = jnp.linalg.inv(preint.cov[:9, :9] + 1e-9 * jnp.eye(9))
+    info9 = 0.5 * (info9 + info9.T)
+    if calib is not None:
+        walk_info = jnp.linalg.inv(calib.cov_walk + 1e-12 * jnp.eye(6))
+    else:
+        walk_info = 1e4 * jnp.eye(6)
+
+    inlier = obs.valid
+
+    def gn(s2, inlier, use_huber):
+        def body(_, s2_flat):
+            s2c = s2_flat
+
+            def full_residual(d):
+                s = apply_tangent(s2c, d)
+                r_re, z = _reproj_residual_body(s, obs, r_cb, t_cb, fx, fy, cx, cy, bf)
+                r_in = inertial_residual(s1, s)
+                # bias random walk to s1's bias
+                r_bw = jnp.concatenate([s.bg - s1.bg, s.ba - s1.ba])
+                return r_re, r_in, r_bw, z
+
+            d0 = jnp.zeros(15)
+            (r_re, r_in, r_bw, z) = full_residual(d0)
+            jac = jax.jacfwd(lambda d: full_residual(d)[:3])(d0)
+            j_re, j_in, j_bw = jac
+
+            chi2 = (r_re[:, 0] ** 2 + r_re[:, 1] ** 2
+                    + jnp.where(obs.is_stereo, r_re[:, 2] ** 2, 0.0)) * obs.inv_sigma2
+            delta = jnp.where(obs.is_stereo, HUBER_STEREO, HUBER_MONO)
+            w = _huber_w(chi2, delta) if use_huber else jnp.ones_like(chi2)
+            w = w * obs.inv_sigma2 * (inlier & (z > 0)).astype(r_re.dtype)
+            rm = jnp.stack([jnp.ones_like(w), jnp.ones_like(w),
+                            obs.is_stereo.astype(w.dtype)], 1)
+            wr = w[:, None] * rm
+
+            h = jnp.einsum("nri,nr,nrj->ij", j_re, wr, j_re)
+            g = -jnp.einsum("nri,nr->i", j_re, wr * r_re)
+            h = h + j_in.T @ info9 @ j_in
+            g = g - j_in.T @ info9 @ r_in
+            h = h + j_bw.T @ walk_info @ j_bw
+            g = g - j_bw.T @ walk_info @ r_bw
+            if prior_s2 is not None and prior_info is not None:
+                # prior residual: tangent from prior to current
+                dr = lie.so3_log(prior_s2.r_wb.T @ s2c.r_wb)
+                dp = prior_s2.r_wb.T @ (s2c.p - prior_s2.p)
+                dv = s2c.v - prior_s2.v
+                dbg = s2c.bg - prior_s2.bg
+                dba = s2c.ba - prior_s2.ba
+                r_pr = jnp.concatenate([dr, dp, dv, dbg, dba])
+                h = h + prior_info
+                g = g - prior_info @ r_pr
+            h = h + 1e-5 * jnp.eye(15)
+            dx = jnp.linalg.solve(h, g)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+            return apply_tangent(s2c, dx)
+
+        return jax.lax.fori_loop(0, iters, body, s2)
+
+    for rnd in range(rounds):
+        s2 = gn(s2, inlier, use_huber=(rnd < rounds - 1))
+        r_re, z = _reproj_residual_body(s2, obs, r_cb, t_cb, fx, fy, cx, cy, bf)
+        chi2 = (r_re[:, 0] ** 2 + r_re[:, 1] ** 2
+                + jnp.where(obs.is_stereo, r_re[:, 2] ** 2, 0.0)) * obs.inv_sigma2
+        th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+        inlier = obs.valid & (chi2 <= th) & (z > 0)
+
+    s2 = s2._replace(r_wb=lie.normalize_rotation(s2.r_wb))
+    return s2, inlier, jnp.sum(inlier)
+
+
+# ---------------------------------------------------------------------------
+# IMU initialization (InitializeIMU / VIG-Init family)
+# ---------------------------------------------------------------------------
+
+def solve_gyro_bias(rots_wb: jnp.ndarray, preints_dR: jnp.ndarray,
+                    preints_JRg: jnp.ndarray, valid: jnp.ndarray,
+                    iters: int = 5) -> jnp.ndarray:
+    """Gyro-bias-only GN over consecutive-KF rotation constraints
+    (imu_ceres.h GyroscopeBiasCostFunction / methods.h gyroscope_only):
+    minimize || Log((dR exp(JRg bg))^T R1^T R2) ||^2 over segments."""
+    def residuals(bg):
+        def one(r1, r2, dR, jrg):
+            dRb = dR @ lie.so3_exp(jrg @ bg)
+            return lie.so3_log(dRb.T @ r1.T @ r2)
+        return jax.vmap(one)(rots_wb[:-1], rots_wb[1:], preints_dR, preints_JRg)
+
+    bg = jnp.zeros(3)
+    w = valid.astype(jnp.float32)
+
+    def body(_, bg):
+        r = residuals(bg)
+        j = jax.jacfwd(residuals)(bg)       # [S,3,3]
+        h = jnp.einsum("s,sri,srj->ij", w, j, j) + 1e-9 * jnp.eye(3)
+        g = -jnp.einsum("s,sri,sr->i", w, j, r)
+        return bg + jnp.linalg.solve(h, g)
+
+    return jax.lax.fori_loop(0, iters, body, bg)
+
+
+def solve_gravity_scale_velocities(
+    rots_wb, ps_wb, dts, dVs, dPs, valid, solve_scale: bool = False):
+    """Linear VI initialization: solve per-KF velocities + gravity (+ scale)
+    from preintegrated segments (ImuInitializer::solve_gravity_scale +
+    InertialOptimization essence). K states, S = K-1 segments.
+
+    Minimizes over x = [v_0..v_{K-1}, g, (s)] the position & velocity
+    constraints:
+      s*(p2-p1) = v1*dt + 0.5 g dt^2 + R1 dP
+      v2 = v1 + g dt + R1 dV
+    Returns (velocities [K,3], gravity [3], scale).
+    """
+    k = rots_wb.shape[0]
+    s_count = k - 1
+    nx = 3 * k + 3 + (1 if solve_scale else 0)
+
+    rows = []
+    rhs = []
+    w = valid.astype(jnp.float32)
+
+    a_list = []
+    b_list = []
+    for i in range(s_count):
+        dt = dts[i]
+        r1 = rots_wb[i]
+        # position row (3 eqs)
+        a_p = jnp.zeros((3, nx))
+        a_p = a_p.at[:, 3 * i:3 * i + 3].set(jnp.eye(3) * dt)
+        a_p = a_p.at[:, 3 * k:3 * k + 3].set(0.5 * dt * dt * jnp.eye(3))
+        if solve_scale:
+            a_p = a_p.at[:, -1].set(-(ps_wb[i + 1] - ps_wb[i]))
+            b_p = -(r1 @ dPs[i])
+        else:
+            b_p = (ps_wb[i + 1] - ps_wb[i]) - r1 @ dPs[i]
+        # velocity row (3 eqs)
+        a_v = jnp.zeros((3, nx))
+        a_v = a_v.at[:, 3 * i:3 * i + 3].set(-jnp.eye(3))
+        a_v = a_v.at[:, 3 * (i + 1):3 * (i + 1) + 3].set(jnp.eye(3))
+        a_v = a_v.at[:, 3 * k:3 * k + 3].set(-dt * jnp.eye(3))
+        b_v = r1 @ dVs[i]
+        a_list += [a_p * w[i], a_v * w[i]]
+        b_list += [b_p * w[i], b_v * w[i]]
+
+    a = jnp.concatenate(a_list, axis=0)
+    b = jnp.concatenate(b_list, axis=0)
+    x, *_ = jnp.linalg.lstsq(a, b)
+    vels = x[:3 * k].reshape(k, 3)
+    grav = x[3 * k:3 * k + 3]
+    scale = x[-1] if solve_scale else jnp.ones(())
+    return vels, grav, scale
+
+
+def gravity_alignment_rotation(gravity: jnp.ndarray) -> jnp.ndarray:
+    """R_wg aligning estimated gravity to (0,0,-9.81): world' = R @ world."""
+    g_norm = gravity / jnp.maximum(jnp.linalg.norm(gravity), 1e-9)
+    target = jnp.array([0.0, 0.0, -1.0])
+    v = jnp.cross(g_norm, target)
+    c = jnp.dot(g_norm, target)
+    s = jnp.linalg.norm(v)
+    axis = v / jnp.maximum(s, 1e-9)
+    angle = jnp.arctan2(s, c)
+    return lie.so3_exp(axis * angle)

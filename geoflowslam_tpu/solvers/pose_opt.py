@@ -139,7 +139,7 @@ def pose_optimization(
             g = -jnp.einsum("nri,nr->i", jac, wr * r)
             # LM-style damping for safety
             h = h + 1e-6 * jnp.eye(6, dtype=h.dtype)
-            dx = jnp.linalg.solve(h, -g)
+            dx = jnp.linalg.solve(h, g)
             n_act = jnp.sum((inlier & ~behind))
             ok = (n_act >= min_obs_for_update) & jnp.all(jnp.isfinite(dx))
             dx = jnp.where(ok, dx, 0.0)
@@ -174,7 +174,7 @@ def pose_optimization(
             h = h + prior.info
             g = g + prior.info @ e
             h = h + 1e-6 * jnp.eye(6, dtype=h.dtype)
-            dx = jnp.linalg.solve(h, -g)
+            dx = jnp.linalg.solve(h, g)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
             dr, dt = lie.se3_exp(dx)
             rot2, t2 = lie.se3_compose(dr, dt, rot, t)

@@ -1,0 +1,76 @@
+"""Frame construction: images -> padded feature/depth/cloud pytree.
+
+TPU-native replacement for the Frame class
+(/root/reference/src/Frame.cc RGB-D ctor :304-456): CLAHE, ORB extraction,
+depth association (ComputeStereoFromRGBD :1314), depth-cloud conversion
+(ConvertDepthToPointCloud :590) and the LK pyramid build (:373) — emitted as
+one jit-compiled function returning a fixed-shape FrameData pytree.
+
+The reference's on-demand feature append (AddPts/AddFeatures for the OF
+tracker, Frame.cc:625-732) is handled by reserving extra padded keypoint
+slots (`n_extra`) that the OF stage fills in-place.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from geoflowslam_tpu.ops import pyramid as pyr_ops
+from geoflowslam_tpu.ops import klt as klt_ops
+from geoflowslam_tpu.ops.extractor import OrbConfig, FeatureSet, extract
+from geoflowslam_tpu.ops import pointcloud as pc
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    orb: OrbConfig = OrbConfig()
+    use_clahe: bool = True
+    lk_levels: int = 4
+    cloud_stride: int = 4
+    cloud_max_pts: int = 4096
+    cloud_voxel: float = 0.05
+    max_depth: float = 10.0
+    # stereo/RGBD baseline*fx (mbf); 0 for mono
+    bf: float = 40.0
+    depth_map_factor: float = 1.0
+
+
+class FrameData(NamedTuple):
+    feat: FeatureSet            # padded keypoints + descriptors
+    depth_kp: jnp.ndarray       # [N] depth per keypoint (<=0 invalid)
+    u_right: jnp.ndarray        # [N] virtual right-cam u (RGBD), <0 invalid
+    cloud: jnp.ndarray          # [P,3] voxel-downsampled depth cloud (cam frame)
+    cloud_valid: jnp.ndarray    # [P]
+    lk_pyramid: Tuple[jnp.ndarray, ...]  # LK pyramid of the (CLAHE) gray image
+
+
+def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
+                cfg: FrameConfig, fx, fy, cx, cy) -> FrameData:
+    """gray: [H,W] float32 0..255; depth: [H,W] metric depth or None."""
+    img = pyr_ops.clahe(gray) if cfg.use_clahe else gray
+    feat = extract(img, cfg.orb)
+    n = feat.capacity
+
+    if depth is not None:
+        xi = jnp.clip(jnp.round(feat.uv[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
+        yi = jnp.clip(jnp.round(feat.uv[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
+        d = depth[yi, xi] * cfg.depth_map_factor
+        d = jnp.where((d > 0) & (d < cfg.max_depth) & feat.valid, d, -1.0)
+        ur = jnp.where(d > 0, feat.uv[:, 0] - cfg.bf / jnp.maximum(d, 1e-6), -1.0)
+        raw_pts, raw_mask = pc.depth_to_cloud(
+            depth * cfg.depth_map_factor, fx, fy, cx, cy,
+            stride=cfg.cloud_stride, max_depth=cfg.max_depth)
+        cloud, cloud_valid = pc.voxel_downsample(
+            raw_pts, raw_mask, cfg.cloud_voxel, cfg.cloud_max_pts)
+    else:
+        d = jnp.full((n,), -1.0, jnp.float32)
+        ur = jnp.full((n,), -1.0, jnp.float32)
+        cloud = jnp.zeros((cfg.cloud_max_pts, 3), jnp.float32)
+        cloud_valid = jnp.zeros((cfg.cloud_max_pts,), bool)
+
+    pyr = tuple(klt_ops.build_lk_pyramid(img, cfg.lk_levels))
+    return FrameData(feat=feat, depth_kp=d, u_right=ur,
+                     cloud=cloud, cloud_valid=cloud_valid, lk_pyramid=pyr)

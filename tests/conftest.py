@@ -6,8 +6,10 @@ XLA's virtual device splitting so multi-chip sharding paths are exercised
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Overwrite, don't setdefault:
+# the environment ships with JAX_PLATFORMS=axon (the tunneled TPU), and tests
+# must not compete for the single real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The environment's sitecustomize.py (axon TPU tunnel) force-sets
+# jax_platforms="axon,cpu" at interpreter start, overriding JAX_PLATFORMS.
+# Override it back: tests must run on the host CPU (virtual 8-device mesh),
+# not compete for the single tunneled TPU chip.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 # Compiles on this host are slow (tens of seconds for some kernels); cache

@@ -11,7 +11,7 @@ import time
 import traceback
 import contextlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # overwrite: env ships with =axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,6 +19,7 @@ if "host_platform_device_count" not in flags:
 sys.path.insert(0, "/root/repo")
 
 import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")  # sitecustomize forces axon,cpu
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
