@@ -117,7 +117,7 @@ def inertial_pose_optimization(
             def full_residual(d):
                 s = apply_tangent(s2c, d)
                 r_re, z = _reproj_residual_body(s, obs, r_cb, t_cb, fx, fy, cx, cy, bf)
-                r_in = inertial_residual(s1, s)
+                r_in = inertial_residual(s1, s, preint)
                 # bias random walk to s1's bias
                 r_bw = jnp.concatenate([s.bg - s1.bg, s.ba - s1.ba])
                 return r_re, r_in, r_bw, z
