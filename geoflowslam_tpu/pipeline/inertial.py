@@ -1,0 +1,171 @@
+"""Inertial pipeline glue: per-frame preintegration, prediction, VI fusion,
+and the IMU initialization state machine.
+
+Re-expresses the inertial parts of Tracking/LocalMapping
+(/root/reference/src/Tracking.cc PreintegrateIMU :1724, PredictStateIMU
+:1876; src/LocalMapping.cc InitializeIMU :1552, VigInit :1804, IMUAlign
+:2111) on top of the jit-compiled solvers in solvers/inertial.py.
+
+The host keeps one Preintegrated buffer per frame gap and per KF gap
+(mpImuPreintegratedFromLastKF analogue); initialization follows the
+closed-form decomposition (gyro-bias GN -> linear gravity/velocity/scale
+solve -> gravity alignment), which covers the reference's three IMU-init
+methods' shared math (ORB-SLAM3 MAP init's first stage, VIG-Init and
+IMU_INITIALIZATION are all gyro-then-gravity schemes).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoflowslam_tpu.math import lie
+from geoflowslam_tpu.imu import preintegration as pre
+from geoflowslam_tpu.solvers import inertial as VI
+from geoflowslam_tpu.state import map_state as M
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    freq: float = 200.0
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    walk_gyro: float = 1.9e-5
+    walk_acc: float = 3.0e-3
+    t_bc: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32))
+    max_samples_per_frame: int = 32
+    init_min_kfs: int = 5
+    init_min_time: float = 1.0
+
+    def calib(self) -> pre.ImuCalib:
+        return pre.ImuCalib.create(self.t_bc, self.noise_gyro, self.noise_acc,
+                                   self.walk_gyro, self.walk_acc, self.freq)
+
+
+class InertialTracker:
+    """Host-side inertial state: preintegration buffers + init machine."""
+
+    def __init__(self, cfg: ImuConfig):
+        self.cfg = cfg
+        self.calib = cfg.calib()
+        t_bc = jnp.asarray(cfg.t_bc)
+        self.r_bc = t_bc[:3, :3]
+        self.t_bc = t_bc[:3, 3]
+        self.r_cb = self.r_bc.T
+        self.t_cb = -self.r_bc.T @ self.t_bc
+
+        self.bias = jnp.zeros(6)
+        self.body: Optional[VI.BodyState] = None       # state at last frame
+        self.initialized = False
+        # per-KF-slot preintegration since the previous KF
+        self.kf_preints: Dict[int, pre.Preintegrated] = {}
+        self.kf_order: List[int] = []                  # insertion order
+        self.pending: Optional[pre.Preintegrated] = None  # since last KF
+
+    # -- per-frame ---------------------------------------------------------
+
+    def preintegrate_frame(self, acc, gyro, dts) -> pre.Preintegrated:
+        """Preintegration for the gap (last frame, this frame]."""
+        p = pre.preintegrate(jnp.asarray(acc), jnp.asarray(gyro),
+                             jnp.asarray(dts), self.bias, self.calib)
+        self.pending = p if self.pending is None else pre.merge_previous(
+            self.pending, p, self.calib)
+        return p
+
+    def predict(self, p_frame: pre.Preintegrated):
+        """PredictStateIMU from the last frame's body state."""
+        assert self.body is not None
+        r, t, v = pre.predict_state(self.body.r_wb, self.body.p, self.body.v,
+                                    p_frame, self.bias)
+        return VI.BodyState(r_wb=r, p=t, v=v, bg=self.bias[:3], ba=self.bias[3:])
+
+    def body_from_cam(self, rot_cw, t_cw, v=None):
+        """Tcw -> body state (world-from-body)."""
+        r_wc = rot_cw.T
+        t_wc = -r_wc @ t_cw
+        # T_wb = T_wc ∘ T_cb  (T_bc maps cam->body, so T_cb = T_bc^-1)
+        r_wb = r_wc @ self.r_cb
+        p_wb = r_wc @ self.t_cb + t_wc
+        if v is None:
+            v = jnp.zeros(3)
+        return VI.BodyState(r_wb=r_wb, p=p_wb, v=v,
+                            bg=self.bias[:3], ba=self.bias[3:])
+
+    def cam_from_body(self, s: VI.BodyState):
+        return VI.cam_pose_from_body(s, self.r_cb, self.t_cb)
+
+    # -- keyframe hooks ----------------------------------------------------
+
+    def on_keyframe(self, kf_slot: int):
+        """Bind the pending preintegration to the new KF and reset it."""
+        if self.pending is not None:
+            self.kf_preints[kf_slot] = self.pending
+        self.kf_order.append(kf_slot)
+        self.pending = None
+
+    # -- initialization ----------------------------------------------------
+
+    def try_initialize(self, ms: M.MapState, scale_free: bool = False):
+        """InitializeIMU essence. Returns (ms, did_init)."""
+        if self.initialized or len(self.kf_order) < self.cfg.init_min_kfs:
+            return ms, False
+        slots = [s for s in self.kf_order if s in self.kf_preints]
+        if len(slots) < self.cfg.init_min_kfs - 1:
+            return ms, False
+        t_span = float(ms.kf_time[slots[-1]] - ms.kf_time[slots[0]])
+        if t_span < self.cfg.init_min_time:
+            return ms, False
+
+        # chain: first KF of the window is the predecessor of slots[0]
+        chain = [self.kf_order[0]] + slots if self.kf_order[0] not in slots \
+            else slots
+        # body rotations/positions from camera poses
+        r_wb, p_wb = [], []
+        for s in chain:
+            rot_cw = ms.kf_rot[s]
+            t_cw = ms.kf_t[s]
+            b = self.body_from_cam(rot_cw, t_cw)
+            r_wb.append(b.r_wb)
+            p_wb.append(b.p)
+        r_wb = jnp.stack(r_wb)
+        p_wb = jnp.stack(p_wb)
+
+        pr = [self.kf_preints[s] for s in chain[1:]]
+        valid = jnp.ones(len(pr), bool)
+
+        # 1) gyro bias
+        bg = VI.solve_gyro_bias(r_wb, jnp.stack([p.dR for p in pr]),
+                                jnp.stack([p.JRg for p in pr]), valid)
+        new_bias = jnp.concatenate([bg, jnp.zeros(3)])
+        pr = [pre.reintegrate(p, new_bias, self.calib) for p in pr]
+
+        # 2) gravity + velocities (+ scale for mono)
+        vels, grav, scale = VI.solve_gravity_scale_velocities(
+            r_wb, p_wb, jnp.stack([p.dt for p in pr]),
+            jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
+            valid, solve_scale=scale_free)
+        g_norm = float(jnp.linalg.norm(grav))
+        if not (7.0 < g_norm < 12.0):
+            return ms, False  # bad init; retry later
+
+        # 3) align gravity to -z and rescale the map
+        r_wg = VI.gravity_alignment_rotation(grav)
+        ms = M.apply_scaled_rotation(ms, r_wg, jnp.asarray(scale, jnp.float32))
+        # rotate velocities into the aligned world and store per KF
+        vels_aligned = vels @ r_wg.T * scale
+        kf_vel = ms.kf_vel
+        for i, s in enumerate(chain):
+            kf_vel = kf_vel.at[s].set(vels_aligned[i])
+        ms = ms._replace(kf_vel=kf_vel,
+                         kf_bias=ms.kf_bias.at[jnp.asarray(chain)].set(new_bias),
+                         imu_initialized=jnp.ones((), bool))
+
+        self.bias = new_bias
+        self.initialized = True
+        # current body state must be re-derived by the caller from the
+        # (re-aligned) camera pose; velocity from the last KF
+        return ms, True

@@ -31,6 +31,9 @@ from geoflowslam_tpu.state import map_state as M
 from geoflowslam_tpu.state.frame import FrameConfig, FrameData, build_frame
 from geoflowslam_tpu.pipeline import tracking as T
 from geoflowslam_tpu.pipeline import local_mapping as LM
+from geoflowslam_tpu.pipeline.inertial import ImuConfig, InertialTracker
+from geoflowslam_tpu.solvers import inertial as VI
+from geoflowslam_tpu.solvers import pose_opt as PO
 
 
 class TrackingState(enum.Enum):
@@ -57,12 +60,15 @@ class SystemConfig:
     min_inliers_ok: int = 15
     time_recently_lost: float = 5.0
     local_ba_every_kf: bool = True
+    imu: Optional[ImuConfig] = None     # IMU.* YAML block analogue
+    close_depth: float = 0.0            # mThDepth analogue (<=0: unlimited)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
             fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy, bf=self.bf,
             n_levels=self.frame.orb.n_levels,
-            scale_factor=self.frame.orb.scale_factor)
+            scale_factor=self.frame.orb.scale_factor,
+            close_depth=self.close_depth)
 
     def map_cfg(self) -> LM.MappingConfig:
         return LM.MappingConfig(
@@ -94,6 +100,8 @@ class SlamSystem:
         self.n_lost = 0
 
         self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
+        self.imu = InertialTracker(cfg.imu) if cfg.imu is not None else None
+        self._p_frame = None  # preintegration of the current frame gap
 
         self._build_frame = jax.jit(
             lambda g, d: build_frame(g, d, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
@@ -101,6 +109,15 @@ class SlamSystem:
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
     def track_rgbd(self, gray, depth, timestamp: float):
+        frame = self._build_frame(jnp.asarray(gray, jnp.float32),
+                                  jnp.asarray(depth, jnp.float32))
+        return self._track(frame, timestamp)
+
+    def track_rgbd_inertial(self, gray, depth, acc, gyro, dts, timestamp: float):
+        """System::TrackRGBD with IMU measurements (GrabImuData +
+        PreintegrateIMU + PredictStateIMU + VI pose optimization)."""
+        assert self.imu is not None
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts)
         frame = self._build_frame(jnp.asarray(gray, jnp.float32),
                                   jnp.asarray(depth, jnp.float32))
         return self._track(frame, timestamp)
@@ -131,10 +148,19 @@ class SlamSystem:
         self.ref_kf_inliers = n
         self.frames_since_kf = 0
         self.state = TrackingState.OK
+        if self.imu is not None:
+            self.imu.pending = None  # first KF: no predecessor segment
+            self.imu.on_keyframe(int(kf_slot))
+            self.imu.body = self.imu.body_from_cam(self.cur_rot, self.cur_t)
 
     def _track_frame(self, frame: FrameData, timestamp: float):
-        # pose prediction: motion model (IMU/odom predictors plug in here)
-        if self.has_vel:
+        # pose prediction: IMU (PredictStateIMU) > motion model
+        pred_body = None
+        if (self.imu is not None and self.imu.initialized
+                and self.imu.body is not None and self._p_frame is not None):
+            pred_body = self.imu.predict(self._p_frame)
+            pr, pt = self.imu.cam_from_body(pred_body)
+        elif self.has_vel:
             pr, pt = lie.se3_compose(self.vel[0], self.vel[1],
                                      self.cur_rot, self.cur_t)
         else:
@@ -162,6 +188,15 @@ class SlamSystem:
         else:
             res2, n2 = res, n1
 
+        # VI refinement (PoseInertialOptimizationLastFrame analogue): fuse
+        # the preintegrated IMU factor with the visual matches.
+        if (self.imu is not None and self.imu.initialized
+                and self.imu.body is not None and self._p_frame is not None
+                and n2 >= self.cfg.min_inliers_ok):
+            res2 = self._vi_refine(frame, res2, pred_body)
+            n2 = int(res2.n_inliers)
+
+        self.debug_inliers = (n1, n2)
         if n2 >= self.cfg.min_inliers_ok:
             self.state = TrackingState.OK
             self.lost_since = None
@@ -171,6 +206,8 @@ class SlamSystem:
             lri, lti = lie.se3_inverse(last_rot, last_t)
             self.vel = lie.se3_compose(self.cur_rot, self.cur_t, lri, lti)
             self.has_vel = True
+            if self.imu is not None:
+                self._update_body_state(timestamp, pred_body)
             self.frames_since_kf += 1
             if self._need_new_keyframe(frame, n2):
                 self._insert_keyframe(frame, timestamp, res2)
@@ -186,13 +223,63 @@ class SlamSystem:
                 self.state = TrackingState.LOST
                 self._reset_or_new_map(frame, timestamp)
 
+    def _vi_refine(self, frame: FrameData, res: T.TrackResult, pred_body):
+        """Fuse visual matches + IMU factor into the current body state."""
+        imu = self.imu
+        s1 = imu.body
+        # initialize from the visually-optimized pose, IMU-predicted velocity
+        s2_vis = imu.body_from_cam(res.rot, res.t,
+                                   v=pred_body.v if pred_body is not None else s1.v)
+        has = res.obs_mp >= 0
+        mp_idx = jnp.maximum(res.obs_mp, 0)
+        feat = frame.feat
+        valid = has & self.ms.mp_valid[mp_idx] & feat.valid
+        obs = PO.PoseObs(
+            pts_w=self.ms.mp_pos[mp_idx], uv=feat.uv, u_right=frame.u_right,
+            is_stereo=valid & (frame.u_right > 0),
+            inv_sigma2=1.0 / (self.tcfg.scale_factor
+                              ** feat.level.astype(jnp.float32)) ** 2,
+            valid=valid)
+        s2, inl, n_inl = VI.inertial_pose_optimization(
+            s2_vis, s1, self._p_frame, obs, imu.r_cb, imu.t_cb,
+            self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy, self.cfg.bf,
+            calib=imu.calib, rounds=2, iters=6)
+        rot, t = imu.cam_from_body(s2)
+        self._vi_state = s2
+        return T.TrackResult(rot=rot, t=t,
+                             obs_mp=jnp.where(inl, res.obs_mp, -1),
+                             n_inliers=n_inl)
+
+    def _update_body_state(self, timestamp: float, pred_body):
+        imu = self.imu
+        vi = getattr(self, "_vi_state", None)
+        if vi is not None:
+            imu.body = vi
+            imu.bias = jnp.concatenate([vi.bg, vi.ba])
+            self._vi_state = None
+        else:
+            # derive body pose from camera; velocity by finite difference
+            # when uninitialized (used by the initializer only)
+            v = None
+            if imu.body is not None and self._p_frame is not None:
+                dt = float(self._p_frame.dt)
+                if dt > 1e-4:
+                    b_new = imu.body_from_cam(self.cur_rot, self.cur_t)
+                    v = (b_new.p - imu.body.p) / dt
+            b = imu.body_from_cam(self.cur_rot, self.cur_t, v=v)
+            imu.body = b
+
     def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
         """NeedNewKeyFrame (src/Tracking.cc:3856) essentials."""
+        ref = max(self.ref_kf_inliers, 1)
+        # emergency insertion on a tracking cliff, regardless of cadence
+        # (the reference's c1c condition with thRefRatio)
+        if n_inliers < 0.35 * ref and self.frames_since_kf >= 1:
+            return True
         if self.frames_since_kf < self.cfg.kf_min_interval:
             return False
         if self.frames_since_kf >= self.cfg.kf_max_interval:
             return True
-        ref = max(self.ref_kf_inliers, 1)
         return n_inliers < self.cfg.kf_tracked_ratio * ref
 
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
@@ -204,6 +291,24 @@ class SlamSystem:
         self.ref_kf = int(kf_slot)
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
+        if self.imu is not None:
+            self.imu.on_keyframe(int(kf_slot))
+            if not self.imu.initialized:
+                self.ms, did = self.imu.try_initialize(self.ms)
+                if did:
+                    # map was re-rotated/scaled: refresh pose + body state
+                    self.cur_rot = self.ms.kf_rot[kf_slot]
+                    self.cur_t = self.ms.kf_t[kf_slot]
+                    b = self.imu.body_from_cam(
+                        self.cur_rot, self.cur_t, v=self.ms.kf_vel[kf_slot])
+                    self.imu.body = b
+                    self.has_vel = False
+            else:
+                # store current VI state on the KF
+                if self.imu.body is not None:
+                    self.ms = self.ms._replace(
+                        kf_vel=self.ms.kf_vel.at[kf_slot].set(self.imu.body.v),
+                        kf_bias=self.ms.kf_bias.at[kf_slot].set(self.imu.bias))
         # local-mapping stage (synchronous, deterministic)
         if self.cfg.local_ba_every_kf:
             self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)

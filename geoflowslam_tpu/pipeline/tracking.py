@@ -239,8 +239,9 @@ def create_keyframe(ms: M.MapState, frame: FrameData, rot, t, time,
     feat = frame.feat
     kf_slot = M.free_kf_slot(ms)
 
-    make = (feat.valid & (obs_mp == M.NO_MP) & (frame.depth_kp > 0)
-            & (frame.depth_kp < cfg.close_depth))
+    depth_ok = (frame.depth_kp < cfg.close_depth) if cfg.close_depth > 0 \
+        else jnp.ones_like(frame.depth_kp, bool)
+    make = (feat.valid & (obs_mp == M.NO_MP) & (frame.depth_kp > 0) & depth_ok)
     # cap the number of new points: keep closest ones first (reference sorts
     # by depth and caps at 100 far ones; we cap total)
     order_key = jnp.where(make, frame.depth_kp, jnp.inf)

@@ -55,8 +55,10 @@ class MapState(NamedTuple):
     mp_max_dist: jnp.ndarray   # [M]
     mp_found: jnp.ndarray      # [M] f32
     mp_visible: jnp.ndarray    # [M] f32
-    mp_first_kf: jnp.ndarray   # [M] int32
+    mp_first_kf: jnp.ndarray   # [M] int32 slot of creating KF
+    mp_birth_seq: jnp.ndarray  # [M] int32 kf_counter at creation (culling age)
     mp_map_id: jnp.ndarray     # [M] int32
+    kf_counter: jnp.ndarray    # [] int32 total KFs ever inserted
     # --- bookkeeping -------------------------------------------------------
     active_map: jnp.ndarray    # [] int32 current Atlas map id
     n_maps: jnp.ndarray        # [] int32
@@ -105,7 +107,9 @@ def create(k_max: int = 64, n_kp: int = 1500, m_max: int = 16384,
         mp_found=z((m_max,), dtype),
         mp_visible=z((m_max,), dtype),
         mp_first_kf=jnp.full((m_max,), -1, jnp.int32),
+        mp_birth_seq=jnp.full((m_max,), -1, jnp.int32),
         mp_map_id=jnp.full((m_max,), -1, jnp.int32),
+        kf_counter=jnp.zeros((), jnp.int32),
         active_map=jnp.zeros((), jnp.int32),
         n_maps=jnp.ones((), jnp.int32),
         imu_initialized=jnp.zeros((), bool),
@@ -157,6 +161,7 @@ def insert_keyframe(ms: MapState, slot, rot, t, vel, bias, time, uv, level,
         kf_depth=ms.kf_depth.at[slot].set(depth),
         kf_kp_valid=ms.kf_kp_valid.at[slot].set(kp_valid),
         kf_obs_mp=ms.kf_obs_mp.at[slot].set(obs_mp),
+        kf_counter=ms.kf_counter + 1,
     )
 
 
@@ -178,6 +183,8 @@ def add_map_points(ms: MapState, slots, pos, desc, normal, min_dist, max_dist,
         mp_found=ms.mp_found.at[slots].set(jnp.where(valid_new, 1.0, ms.mp_found[slots])),
         mp_visible=ms.mp_visible.at[slots].set(jnp.where(valid_new, 1.0, ms.mp_visible[slots])),
         mp_first_kf=upd(ms.mp_first_kf, jnp.broadcast_to(first_kf, slots.shape)),
+        mp_birth_seq=upd(ms.mp_birth_seq,
+                         jnp.broadcast_to(ms.kf_counter, slots.shape)),
         mp_map_id=upd(ms.mp_map_id, jnp.broadcast_to(ms.active_map, slots.shape)),
     )
 
@@ -239,12 +246,19 @@ def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10):
 
 def cull_map_points(ms: MapState, min_found_ratio: float = 0.25,
                     min_obs: int = 2) -> MapState:
-    """MapPoint culling (LocalMapping::MapPointCulling semantics: found-ratio
-    < 0.25 or too few observations once mature)."""
+    """MapPoint culling, reference semantics (LocalMapping::MapPointCulling,
+    /root/reference/src/LocalMapping.cc:467): only *recent* points (within
+    3 KFs of their birth) are on trial — found-ratio < 0.25 always kills;
+    too-few KF observations kills once the point is >= 2 KFs old; points
+    that survive 3 KFs become permanent (culled later only by BA outlier
+    pruning / fusion)."""
+    age = ms.kf_counter - ms.mp_birth_seq              # in KFs
+    recent = age <= 3
     n_obs = mp_observation_count(ms)
     ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
-    mature = ms.mp_visible >= 3.0
-    bad = ms.mp_valid & ((ratio < min_found_ratio) | (mature & (n_obs < min_obs)))
+    bad_ratio = ratio < min_found_ratio
+    bad_obs = (age >= 2) & (n_obs < min_obs)
+    bad = ms.mp_valid & recent & (bad_ratio | bad_obs)
     new_valid = ms.mp_valid & ~bad
     # detach observations of dead points
     obs = ms.kf_obs_mp
