@@ -30,13 +30,20 @@ HALF_PATCH = 15
 N_BITS = 256
 
 
+def _umax_per_row():
+    """Half-width of the centroid disc per |dy| (the reference's umax circle,
+    ORBextractor ctor)."""
+    r = HALF_PATCH
+    return [int(np.floor(np.sqrt(max(r * r + r * 0.5 - v * v, 0.0))))
+            for v in range(r + 1)]
+
+
 def _circular_masks():
-    """x/y-weighted circular masks for the intensity centroid, exactly the
-    u_max circle used by the reference (ORBextractor ctor, src/ORBextractor.cc)."""
+    """x/y-weighted circular masks for the intensity centroid, built from the
+    same per-row umax table the moment maps use (self-consistent disc)."""
+    umax = _umax_per_row()
     vs, us = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
-    # reference umax: for v in [0, r], umax[v] = round(sqrt(r^2 - v^2)) with
-    # symmetry fix-ups; the plain disc |(u,v)| <= r + 0.5 reproduces it.
-    disc = (us * us + vs * vs) <= (HALF_PATCH * HALF_PATCH + HALF_PATCH * 0.5)
+    disc = np.abs(us) <= np.array([umax[abs(v)] for v in range(-HALF_PATCH, HALF_PATCH + 1)])[:, None]
     mx = (us * disc).astype(np.float32)
     my = (vs * disc).astype(np.float32)
     # numpy (not jnp): module-level cache must hold constants, never tracers
@@ -54,18 +61,51 @@ def _get_masks():
 
 
 def orientation_maps(img: jnp.ndarray):
-    """Dense m10/m01 moment maps via conv; angle = atan2(m01, m10) at kp."""
-    mx, my = _get_masks()
+    """Dense m10/m01 moment maps; angle = atan2(m01, m10) at keypoints.
+
+    A dense 31x31 conv lowers to ~900 ms on TPU (single-channel conv); here
+    the moments are built from x-prefix sums: per disc row dy with half-width
+    w, the windowed x-weighted sum is two slice differences of cumsum arrays
+    (sum dx*I = sum (u+dx)*I - u*sum I). 31 rows x a few fused slices ~ 1 ms.
+    """
+    h, w_img = img.shape
     pad = HALF_PATCH
-    x = jnp.pad(img, pad, mode="edge")[None, None]
+    umax = _umax_per_row()
 
-    def conv(kernel):
-        return jax.lax.conv_general_dilated(
-            x, kernel[None, None], (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
+    xs = jnp.arange(w_img + 2 * pad + 1, dtype=img.dtype)
+    ys = jnp.arange(h + 2 * pad + 1, dtype=img.dtype)
 
-    return conv(mx), conv(my)
+    imgp = jnp.pad(img, pad)  # zero pad; detector border >= 16 excludes edges
+    # prefix sums along x: P[v, u] = sum_{u'<u} I, Q = sum u' * I
+    p_x = jnp.pad(jnp.cumsum(imgp, axis=1), ((0, 0), (1, 0)))
+    q_x = jnp.pad(jnp.cumsum(imgp * xs[None, :-1], axis=1), ((0, 0), (1, 0)))
+    # prefix sums along y for m01
+    p_y = jnp.pad(jnp.cumsum(imgp, axis=0), ((1, 0), (0, 0)))
+    q_y = jnp.pad(jnp.cumsum(imgp * ys[:-1, None], axis=0), ((1, 0), (0, 0)))
+
+    u0 = jnp.arange(w_img, dtype=img.dtype) + pad   # padded x-coord of center
+    v0 = jnp.arange(h, dtype=img.dtype) + pad
+
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for dy in range(-pad, pad + 1):
+        w = umax[abs(dy)]
+        # row at y = v + dy, x-window [u - w, u + w] in padded coords
+        row_p = p_x[pad + dy: pad + dy + h, :]
+        row_q = q_x[pad + dy: pad + dy + h, :]
+        s_p = row_p[:, 2 * pad + w + 1 - pad: 2 * pad + w + 1 - pad + w_img] \
+            - row_p[:, pad - w: pad - w + w_img]
+        s_q = row_q[:, 2 * pad + w + 1 - pad: 2 * pad + w + 1 - pad + w_img] \
+            - row_q[:, pad - w: pad - w + w_img]
+        m10 = m10 + (s_q - u0[None, :] * s_p)
+    for dx in range(-pad, pad + 1):
+        w = umax[abs(dx)]
+        col_p = p_y[:, pad + dx: pad + dx + w_img]
+        col_q = q_y[:, pad + dx: pad + dx + w_img]
+        s_p = col_p[pad + w + 1: pad + w + 1 + h, :] - col_p[pad - w: pad - w + h, :]
+        s_q = col_q[pad + w + 1: pad + w + 1 + h, :] - col_q[pad - w: pad - w + h, :]
+        m01 = m01 + (s_q - v0[:, None] * s_p)
+    return m10, m01
 
 
 def compute_orientations(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

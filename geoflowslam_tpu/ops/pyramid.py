@@ -44,31 +44,37 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     return levels
 
 
-def _gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+def _gaussian_kernel1d(ksize: int, sigma: float):
+    import numpy as np
+
     r = (ksize - 1) / 2.0
-    x = jnp.arange(ksize, dtype=jnp.float32) - r
-    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / jnp.sum(k)
+    x = np.arange(ksize, dtype=np.float32) - r
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / np.sum(k)   # numpy: compile-time constant (jit-safe)
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable Gaussian blur with reflect padding (BORDER_REFLECT_101)."""
+    """Separable Gaussian blur with reflect padding (BORDER_REFLECT_101).
+
+    Implemented as shift-and-add (fused VPU adds) instead of lax.conv: a
+    single-channel NCHW conv lowers to a pathological layout on TPU (~9 ms
+    for 640x480x7 taps); the unrolled shifts fuse to well under 1 ms.
+    """
     k = _gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    # Vertical pass: conv along rows.
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    h = img.shape[0]
+    out = None
+    for i in range(ksize):
+        term = x[i:i + h, :] * float(k[i])
+        out = term if out is None else out + term
+    x = jnp.pad(out, ((0, 0), (pad, pad)), mode="reflect")
+    w = img.shape[1]
+    out = None
+    for i in range(ksize):
+        term = x[:, i:i + w] * float(k[i])
+        out = term if out is None else out + term
+    return out
 
 
 def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 8,
@@ -85,8 +91,10 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 8,
     x = jnp.clip(img, 0, 255)
     tiles = x.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, th * tw)
     idx = jnp.round(tiles).astype(jnp.int32)
-    onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32)          # [T, P, B]
-    hist = jnp.sum(onehot, axis=1)                                   # [T, B]
+    n_tiles = grid * grid
+    flat = (jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * n_bins + idx).reshape(-1)
+    hist = jnp.zeros((n_tiles * n_bins,), jnp.float32).at[flat].add(1.0)
+    hist = hist.reshape(n_tiles, n_bins)                             # [T, B]
     # Clip histogram and redistribute excess uniformly (OpenCV semantics).
     limit = jnp.maximum(clip_limit * (th * tw) / n_bins, 1.0)
     clipped = jnp.minimum(hist, limit)

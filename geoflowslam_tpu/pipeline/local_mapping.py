@@ -76,13 +76,17 @@ def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig):
     in_win = jnp.concatenate([vals > 0, rvals > 0])
     fixed = jnp.concatenate([jnp.zeros((cfg.window_opt,), bool),
                              jnp.ones((cfg.window_fixed,), bool)])
-    # Always anchor: fix the oldest optimized KF if no fixed KFs exist
-    any_fixed = jnp.any(fixed & in_win)
-    fixed = fixed.at[0].set(jnp.where(any_fixed, fixed[0], False))
-    # reference fixes KF 0 whenever it is in the window; emulate by fixing
-    # the lowest-timestamp member when there is no ring
-    oldest = jnp.argmin(jnp.where(in_win, ms.kf_time[kf_idx], jnp.inf))
-    fixed = jnp.where(any_fixed, fixed, fixed.at[oldest].set(True))
+    # Gauge anchoring: ensure at least TWO fixed KFs (one pins SE3, the
+    # second pins the monocular scale; the reference gets this from its
+    # fixed 1-ring + KF0, see Optimizer.cc:1588 lFixedCameras).
+    n_fixed = jnp.sum((fixed & in_win).astype(jnp.int32))
+    times = jnp.where(in_win & ~fixed, ms.kf_time[kf_idx], jnp.inf)
+    oldest1 = jnp.argmin(times)
+    times2 = times.at[oldest1].set(jnp.inf)
+    oldest2 = jnp.argmin(times2)
+    fixed = jnp.where(n_fixed >= 1, fixed, fixed.at[oldest1].set(True))
+    n_fixed = jnp.sum((fixed & in_win).astype(jnp.int32))
+    fixed = jnp.where(n_fixed >= 2, fixed, fixed.at[oldest2].set(True))
     return kf_idx, in_win, fixed
 
 
@@ -220,15 +224,24 @@ def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
 # Monocular triangulation of new points (CreateNewMapPoints)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "max_new"))
+@partial(jax.jit, static_argnames=("cfg", "max_new", "n_neighbors"))
 def triangulate_new_points(ms: M.MapState, center_kf, cfg: MappingConfig,
-                           max_new: int = 256):
+                           max_new: int = 256, n_neighbors: int = 3):
     """Match unbound keypoints of the center KF against its best covisible
-    neighbour (descriptor NN + epipolar gating) and triangulate."""
+    neighbours (descriptor NN + epipolar gating) and triangulate
+    (CreateNewMapPoints uses 10-20 covisible KFs; we unroll the top few)."""
     cov = M.covisibility(ms)
     row = cov[center_kf] * ms.kf_valid
-    nb = jnp.argmax(row)
+    _, nbs = jax.lax.top_k(row, n_neighbors)
+    total = jnp.int32(0)
+    for i in range(n_neighbors):
+        ms, n_new = _triangulate_with(ms, center_kf, nbs[i], cfg, max_new)
+        total = total + n_new
+    return ms, total
 
+
+def _triangulate_with(ms: M.MapState, center_kf, nb, cfg: MappingConfig,
+                      max_new: int):
     n = ms.n_kp
     desc_c = ms.kf_desc[center_kf]
     desc_n = ms.kf_desc[nb]

@@ -62,6 +62,7 @@ class SystemConfig:
     local_ba_every_kf: bool = True
     imu: Optional[ImuConfig] = None     # IMU.* YAML block analogue
     close_depth: float = 0.0            # mThDepth analogue (<=0: unlimited)
+    sensor: str = "rgbd"                # "rgbd" | "mono" (System::eSensor)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -105,12 +106,21 @@ class SlamSystem:
 
         self._build_frame = jax.jit(
             lambda g, d: build_frame(g, d, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
+        self._build_frame_mono = jax.jit(
+            lambda g: build_frame(g, None, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
+        self._pending_init_frame = None   # mono init: (frame, time)
+        self._init_key = jax.random.PRNGKey(1234)
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
     def track_rgbd(self, gray, depth, timestamp: float):
         frame = self._build_frame(jnp.asarray(gray, jnp.float32),
                                   jnp.asarray(depth, jnp.float32))
+        return self._track(frame, timestamp)
+
+    def track_monocular(self, gray, timestamp: float):
+        """System::TrackMonocular analogue."""
+        frame = self._build_frame_mono(jnp.asarray(gray, jnp.float32))
         return self._track(frame, timestamp)
 
     def track_rgbd_inertial(self, gray, depth, acc, gyro, dts, timestamp: float):
@@ -136,6 +146,8 @@ class SlamSystem:
         return self.current_pose_wc()
 
     def _initialize(self, frame: FrameData, timestamp: float):
+        if self.cfg.sensor == "mono":
+            return self._initialize_mono(frame, timestamp)
         ms, kf_slot, res = T.stereo_initialization(
             self.ms, frame, jnp.float32(timestamp), self.tcfg)
         n = int(res.n_inliers)
@@ -152,6 +164,38 @@ class SlamSystem:
             self.imu.pending = None  # first KF: no predecessor segment
             self.imu.on_keyframe(int(kf_slot))
             self.imu.body = self.imu.body_from_cam(self.cur_rot, self.cur_t)
+
+    def _initialize_mono(self, frame: FrameData, timestamp: float):
+        """Tracking::MonocularInitialization: hold a frame, reconstruct when
+        a suitable second frame arrives."""
+        from geoflowslam_tpu.pipeline import mono_init as MI
+
+        if self._pending_init_frame is None:
+            if int(jnp.sum(frame.feat.valid)) > 100:
+                self._pending_init_frame = (frame, timestamp)
+            return
+        f1, t1 = self._pending_init_frame
+        self._init_key, k = jax.random.split(self._init_key)
+        init = MI.try_monocular_init(k, f1, frame, self.cfg.fx, self.cfg.fy,
+                                     self.cfg.cx, self.cfg.cy)
+        if not bool(init.ok):
+            # reference resets the initializer if too old; keep latest frame
+            if timestamp - t1 > 1.0:
+                self._pending_init_frame = (frame, timestamp)
+            return
+        ms, s1, s2, obs2, n_pts = MI.create_initial_map_mono(
+            self.ms, f1, frame, init, jnp.float32(t1), jnp.float32(timestamp),
+            self.cfg.frame.orb.scale_factor, self.cfg.frame.orb.n_levels)
+        self.ms = ms
+        self.cur_rot, self.cur_t = init.rot21, init.t21
+        self.last_obs_mp = obs2
+        self.ref_kf = int(s2)
+        self.ref_kf_inliers = int(n_pts)
+        self.frames_since_kf = 0
+        self.state = TrackingState.OK
+        self._pending_init_frame = None
+        # polish the initial map (reference runs GlobalBundleAdjustemnt(20))
+        self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(s2), self.mcfg)
 
     def _track_frame(self, frame: FrameData, timestamp: float):
         # pose prediction: IMU (PredictStateIMU) > motion model
@@ -310,8 +354,22 @@ class SlamSystem:
                         kf_vel=self.ms.kf_vel.at[kf_slot].set(self.imu.body.v),
                         kf_bias=self.ms.kf_bias.at[kf_slot].set(self.imu.bias))
         # local-mapping stage (synchronous, deterministic)
+        if self.cfg.sensor == "mono":
+            # CreateNewMapPoints: epipolar triangulation with the best
+            # covisible neighbour (RGB-D creates points from depth instead)
+            self.ms, _ = LM.triangulate_new_points(
+                self.ms, jnp.int32(kf_slot), self.mcfg)
         if self.cfg.local_ba_every_kf:
             self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
+            # BA moved the map: re-anchor the current pose and the IMU body
+            # state to the optimized KF (the reference's mbMapUpdated /
+            # UpdateFrameIMU re-anchoring, src/Tracking.cc:4875)
+            self.cur_rot = self.ms.kf_rot[kf_slot]
+            self.cur_t = self.ms.kf_t[kf_slot]
+            self.has_vel = False
+            if self.imu is not None and self.imu.initialized and self.imu.body is not None:
+                self.imu.body = self.imu.body_from_cam(
+                    self.cur_rot, self.cur_t, v=self.imu.body.v)
         self.ms = LM.cull_step(self.ms)
         # refresh last_obs after culling: drop dead references
         mp_valid = self.ms.mp_valid

@@ -118,7 +118,10 @@ def _gn_step(prob: BAProblem, active, fx, fy, cx, cy, bf, use_huber,
     s = s * fm[:, :, None, None] * free[None, None, :, None]
     sd = s.reshape(k * 6, k * 6)
     diag_fix = (1.0 - (fm * jnp.ones((k, 6), s.dtype))).reshape(-1)
-    sd = sd + jnp.diag(diag_fix) + damping * jnp.eye(k * 6, dtype=s.dtype)
+    # Levenberg-style multiplicative damping: regularizes the near-null gauge
+    # directions (e.g. monocular global scale) that absolute damping misses.
+    sd = sd + jnp.diag(diag_fix + 1e-3 * jnp.diag(sd)) \
+        + damping * jnp.eye(k * 6, dtype=s.dtype)
     rhs = (rhs * fm).reshape(-1)
 
     dp = jnp.linalg.solve(sd, rhs).reshape(k, 6)

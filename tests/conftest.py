@@ -10,6 +10,7 @@ import os
 # the environment ships with JAX_PLATFORMS=axon (the tunneled TPU), and tests
 # must not compete for the single real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -11,7 +11,8 @@ import time
 import traceback
 import contextlib
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # overwrite: env ships with =axon (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # overwrite: env ships with =axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
