@@ -32,6 +32,7 @@ from geoflowslam_tpu.state.frame import FrameConfig, FrameData, build_frame
 from geoflowslam_tpu.pipeline import tracking as T
 from geoflowslam_tpu.pipeline import local_mapping as LM
 from geoflowslam_tpu.pipeline.inertial import ImuConfig, InertialTracker
+from geoflowslam_tpu.pipeline.loop_closing import LoopCloser, LoopConfig
 from geoflowslam_tpu.solvers import inertial as VI
 from geoflowslam_tpu.solvers import pose_opt as PO
 
@@ -63,6 +64,7 @@ class SystemConfig:
     imu: Optional[ImuConfig] = None     # IMU.* YAML block analogue
     close_depth: float = 0.0            # mThDepth analogue (<=0: unlimited)
     sensor: str = "rgbd"                # "rgbd" | "mono" (System::eSensor)
+    loop: Optional[LoopConfig] = None   # enable loop closing (needs vocab)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -80,7 +82,7 @@ class SystemConfig:
 class SlamSystem:
     """RGB-D (mono support via pipeline/mono_init) SLAM system."""
 
-    def __init__(self, cfg: SystemConfig):
+    def __init__(self, cfg: SystemConfig, vocab=None):
         self.cfg = cfg
         self.tcfg = cfg.track_cfg()
         self.mcfg = cfg.map_cfg()
@@ -103,6 +105,10 @@ class SlamSystem:
         self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
         self.imu = InertialTracker(cfg.imu) if cfg.imu is not None else None
         self._p_frame = None  # preintegration of the current frame gap
+        self.vocab = vocab
+        self.loop_closer = (
+            LoopCloser(vocab, cfg.k_max, cfg.loop)
+            if (vocab is not None and cfg.loop is not None) else None)
 
         self._build_frame = jax.jit(
             lambda g, d: build_frame(g, d, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
@@ -261,11 +267,65 @@ class SlamSystem:
             if self.state == TrackingState.OK:
                 self.state = TrackingState.RECENTLY_LOST
                 self.lost_since = timestamp
-            elif (self.state == TrackingState.RECENTLY_LOST
-                  and self.lost_since is not None
-                  and timestamp - self.lost_since > self.cfg.time_recently_lost):
-                self.state = TrackingState.LOST
-                self._reset_or_new_map(frame, timestamp)
+            elif self.state == TrackingState.RECENTLY_LOST:
+                if self._relocalize(frame):
+                    self.state = TrackingState.OK
+                    self.lost_since = None
+                elif (self.lost_since is not None
+                      and timestamp - self.lost_since > self.cfg.time_recently_lost):
+                    self.state = TrackingState.LOST
+                    self._reset_or_new_map(frame, timestamp)
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        """Tracking::Relocalization (src/Tracking.cc:4537): BoW candidate
+        retrieval -> descriptor matching against the candidate KF's map
+        points -> PnP RANSAC -> pose-only GN."""
+        if self.loop_closer is None:
+            return False
+        from geoflowslam_tpu.retrieval import vocab as Vv
+        from geoflowslam_tpu.retrieval import kf_database as DBD
+        from geoflowslam_tpu.ops import matching as MATCH
+        from geoflowslam_tpu.ops import ransac as RS
+
+        feat = frame.feat
+        words = Vv.descend(self.vocab, feat.desc, feat.valid)
+        qvec = Vv.bow_vector(self.vocab, words)
+        idx, score, ok = DBD.detect_relocalization_candidates(
+            self.loop_closer.db, self.ms, qvec, n_best=3)
+        for c in range(3):
+            if not bool(ok[c]):
+                continue
+            kf = int(idx[c])
+            m_idx, _ = MATCH.match_descriptors(
+                feat.desc, feat.valid,
+                self.ms.kf_desc[kf],
+                self.ms.kf_kp_valid[kf] & (self.ms.kf_obs_mp[kf] >= 0),
+                max_dist=MATCH.TH_LOW, ratio=0.85, mutual=True)
+            mp = self.ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
+            valid = (m_idx >= 0) & (mp >= 0) & self.ms.mp_valid[jnp.maximum(mp, 0)]
+            if int(jnp.sum(valid)) < 15:
+                continue
+            pts = self.ms.mp_pos[jnp.maximum(mp, 0)]
+            uvn = (feat.uv - jnp.array([self.cfg.cx, self.cfg.cy])) \
+                / jnp.array([self.cfg.fx, self.cfg.fy])
+            self._init_key, k = jax.random.split(self._init_key)
+            res = RS.ransac_pnp(k, pts, uvn, valid, threshold_px=5.99,
+                                focal=self.cfg.fx)
+            if int(res.n_inliers) < 10:
+                continue
+            rot0 = res.model[:, :3]
+            t0 = res.model[:, 3]
+            obs_mp = jnp.where(valid, mp, M.NO_MP)
+            rot, t, obs2, n_inl = T._pose_opt_from_obs(
+                self.ms, frame, obs_mp, rot0, t0, self.tcfg)
+            if int(n_inl) >= self.cfg.min_inliers_ok:
+                self.cur_rot, self.cur_t = rot, t
+                self.last_obs_mp = obs2
+                if self.imu is not None:
+                    self.imu.body = self.imu.body_from_cam(rot, t)
+                    self.imu.pending = None
+                return True
+        return False
 
     def _vi_refine(self, frame: FrameData, res: T.TrackResult, pred_body):
         """Fuse visual matches + IMU factor into the current body state."""
@@ -371,6 +431,16 @@ class SlamSystem:
                 self.imu.body = self.imu.body_from_cam(
                     self.cur_rot, self.cur_t, v=self.imu.body.v)
         self.ms = LM.cull_step(self.ms)
+        if self.loop_closer is not None:
+            self.ms, found = self.loop_closer.on_keyframe(self.ms, int(kf_slot))
+            if found:
+                # loop correction moved everything: re-anchor current pose
+                self.cur_rot = self.ms.kf_rot[kf_slot]
+                self.cur_t = self.ms.kf_t[kf_slot]
+                self.has_vel = False
+                if self.imu is not None and self.imu.body is not None:
+                    self.imu.body = self.imu.body_from_cam(
+                        self.cur_rot, self.cur_t, v=self.imu.body.v)
         # refresh last_obs after culling: drop dead references
         mp_valid = self.ms.mp_valid
         obs = self.ms.kf_obs_mp[kf_slot]
