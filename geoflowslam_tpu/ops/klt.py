@@ -79,7 +79,10 @@ def _track_level(img_prev, img_next, pts_prev_lvl, guess_lvl, win: int,
         qx = g_out[0] + offs[:, 0]
         qy = g_out[1] + offs[:, 1]
         err = jnp.mean(jnp.abs(_bilinear(img_next, qx, qy) - tmpl))
-        inb = (g_out[0] >= r) & (g_out[0] < w - r) & (g_out[1] >= r) & (g_out[1] < h - r)
+        # point (not whole patch) must stay inside: the bilinear sampler
+        # border-clamps, which matches cv::buildOpticalFlowPyramid's
+        # replicated-border padding semantics.
+        inb = (g_out[0] >= 0) & (g_out[0] <= w - 1) & (g_out[1] >= 0) & (g_out[1] <= h - 1)
         return g_out, good_grad & inb, err
 
     return jax.vmap(one)(pts_prev_lvl, guess_lvl)

@@ -65,6 +65,11 @@ class SystemConfig:
     close_depth: float = 0.0            # mThDepth analogue (<=0: unlimited)
     sensor: str = "rgbd"                # "rgbd" | "mono" (System::eSensor)
     loop: Optional[LoopConfig] = None   # enable loop closing (needs vocab)
+    use_of: bool = False                # UseOpticalFlow (dual-stream KLT)
+    use_icp: bool = False               # UseICP (GICP/NDT pose predictor)
+    icp_method: str = "gicp"            # ICPMethod: "gicp" | "ndt"
+    icp_min_inliers: int = 200          # inlier gate (src/Tracking.cc:3394)
+    use_odom: bool = False              # UseRobotOdom (legged odometry)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -86,7 +91,8 @@ class SlamSystem:
         self.cfg = cfg
         self.tcfg = cfg.track_cfg()
         self.mcfg = cfg.map_cfg()
-        self.ms = M.create(cfg.k_max, cfg.frame.orb.n_features, cfg.m_max)
+        n_kp_total = cfg.frame.orb.n_features + cfg.frame.n_of_slots
+        self.ms = M.create(cfg.k_max, n_kp_total, cfg.m_max)
         self.state = TrackingState.NOT_INITIALIZED
 
         self.cur_rot = jnp.eye(3)
@@ -116,6 +122,9 @@ class SlamSystem:
             lambda g: build_frame(g, None, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
         self._pending_init_frame = None   # mono init: (frame, time)
         self._init_key = jax.random.PRNGKey(1234)
+        self._odom_vel = None
+        self._icp_prior = None
+        self.last_frame = None
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
@@ -148,6 +157,8 @@ class SlamSystem:
 
         self.last_time = timestamp
         self.n_frames += 1
+        if self.cfg.use_of or self.cfg.use_icp:
+            self.last_frame = frame
         self._record_pose(timestamp)
         return self.current_pose_wc()
 
@@ -218,8 +229,40 @@ class SlamSystem:
 
         last_rot, last_t = self.cur_rot, self.cur_t
 
+        # legged-odometry prediction (PredictStateOdom, src/Tracking.cc:1832):
+        # base velocity overrides the translation part of the prediction when
+        # provided and no IMU is initialized.
+        if (self.cfg.use_odom and self._odom_vel is not None
+                and not (self.imu is not None and self.imu.initialized)):
+            dt = max(timestamp - self.last_time, 0.0)
+            rwc, twc = lie.se3_inverse(self.cur_rot, self.cur_t)
+            twc_pred = twc + jnp.asarray(self._odom_vel) * dt
+            pr2, pt2 = lie.se3_inverse(pr, pt)   # keep predicted rotation
+            pr, pt = lie.se3_inverse(pr2, twc_pred)
+
+        # ICP prediction (PredictStateICP/NDT, src/Tracking.cc:3365-3465)
+        icp_prior = None
+        if (self.cfg.use_icp and getattr(self, "last_frame", None) is not None
+                and bool(frame.cloud_valid.any())):
+            pred = self._icp_predict(frame, pr, pt)
+            if pred is not None:
+                pr, pt = pred
+                icp_prior = PO.PosePrior(
+                    rot=pr, t=pt, info=1e4 * jnp.eye(6))
+        self._icp_prior = icp_prior
+
+        extra_obs = None
+        if self.cfg.use_of and getattr(self, "last_frame", None) is not None:
+            from geoflowslam_tpu.pipeline.of_tracking import of_dual_stream, OFConfig
+            self._init_key, kof = jax.random.split(self._init_key)
+            frame, extra_obs, n3d, n2d = of_dual_stream(
+                self.ms, self.last_frame, frame, self.last_obs_mp, pr, pt,
+                kof, self.tcfg, OFConfig(), self.cfg.frame.n_of_slots)
+            self.debug_of = (int(n3d), int(n2d))
+
         res = T.track_with_motion_model(
-            self.ms, frame, self.last_obs_mp, pr, pt, self.tcfg)
+            self.ms, frame, self.last_obs_mp, pr, pt, self.tcfg,
+            extra_obs=extra_obs)
         n1 = int(res.n_inliers)
         if n1 < self.cfg.min_inliers_ok:
             # fallback: search wider from the unpredicted pose
@@ -326,6 +369,35 @@ class SlamSystem:
                     self.imu.pending = None
                 return True
         return False
+
+    def set_odom(self, vel_world):
+        """Tracking::GrabOdomData analogue: world-frame base velocity."""
+        self._odom_vel = vel_world
+
+    def _icp_predict(self, frame: FrameData, pred_rot, pred_t):
+        """GICP/NDT registration of the depth clouds as a pose predictor.
+
+        Returns the refined (rot, t) Tcw or None if the registration is
+        rejected (inlier gate, as the reference's >=200-inlier check)."""
+        from geoflowslam_tpu.ops import gicp as G
+
+        lf = self.last_frame
+        # init: T_lc = T_lw ∘ T_cw_pred^-1
+        pri, pti = lie.se3_inverse(pred_rot, pred_t)
+        r0, t0 = lie.se3_compose(self.cur_rot, self.cur_t, pri, pti)
+        if self.cfg.icp_method == "ndt":
+            res = G.ndt_register(frame.cloud, frame.cloud_valid,
+                                 lf.cloud, lf.cloud_valid,
+                                 init_rot=r0, init_t=t0)
+        else:
+            res = G.gicp_register(frame.cloud, frame.cloud_valid,
+                                  lf.cloud, lf.cloud_valid,
+                                  init_rot=r0, init_t=t0)
+        if int(res.n_inliers) < self.cfg.icp_min_inliers:
+            return None
+        # T_cw = T_lc^-1 ∘ T_lw
+        ri, ti = lie.se3_inverse(res.rot, res.t)
+        return lie.se3_compose(ri, ti, self.cur_rot, self.cur_t)
 
     def _vi_refine(self, frame: FrameData, res: T.TrackResult, pred_body):
         """Fuse visual matches + IMU factor into the current body state."""

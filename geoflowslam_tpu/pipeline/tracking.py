@@ -126,9 +126,11 @@ def stereo_initialization(ms: M.MapState, frame: FrameData, time,
 @partial(jax.jit, static_argnames=("cfg",))
 def track_with_motion_model(ms: M.MapState, frame: FrameData,
                             last_obs_mp: jnp.ndarray,
-                            pred_rot, pred_t, cfg: TrackConfig):
+                            pred_rot, pred_t, cfg: TrackConfig,
+                            extra_obs: jnp.ndarray | None = None):
     """Project last frame's map points at the predicted pose and match
-    against the current frame, then pose-only GN."""
+    against the current frame, then pose-only GN. `extra_obs` [N] carries
+    pre-bound map-point ids (the OF dual-stream appends, of_tracking.py)."""
     feat = frame.feat
     has_mp = last_obs_mp >= 0
     mp_idx = jnp.maximum(last_obs_mp, 0)
@@ -154,6 +156,8 @@ def track_with_motion_model(ms: M.MapState, frame: FrameData,
     obs_mp = jnp.full((feat.capacity,), M.NO_MP, jnp.int32)
     tgt = jnp.where(m_idx >= 0, m_idx, feat.capacity)
     obs_mp = obs_mp.at[tgt].set(mp_idx.astype(jnp.int32), mode="drop")
+    if extra_obs is not None:
+        obs_mp = jnp.where(obs_mp == M.NO_MP, extra_obs, obs_mp)
 
     rot, t, obs_mp, n_inl = _pose_opt_from_obs(ms, frame, obs_mp, pred_rot, pred_t, cfg)
     return TrackResult(rot, t, obs_mp, n_inl)

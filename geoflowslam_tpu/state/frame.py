@@ -36,6 +36,9 @@ class FrameConfig:
     # stereo/RGBD baseline*fx (mbf); 0 for mono
     bf: float = 40.0
     depth_map_factor: float = 1.0
+    # reserved padded keypoint slots for the optical-flow tracker's
+    # appended points (Frame::AddPts analogue); 0 disables
+    n_of_slots: int = 0
 
 
 class FrameData(NamedTuple):
@@ -70,6 +73,25 @@ def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
         ur = jnp.full((n,), -1.0, jnp.float32)
         cloud = jnp.zeros((cfg.cloud_max_pts, 3), jnp.float32)
         cloud_valid = jnp.zeros((cfg.cloud_max_pts,), bool)
+
+    if cfg.n_of_slots > 0:
+        pad = cfg.n_of_slots
+        feat = FeatureSet(
+            uv=jnp.concatenate([feat.uv, jnp.zeros((pad, 2))]),
+            response=jnp.concatenate([feat.response, jnp.zeros((pad,))]),
+            angle=jnp.concatenate([feat.angle, jnp.zeros((pad,))]),
+            level=jnp.concatenate([feat.level, jnp.zeros((pad,), jnp.int32)]),
+            desc=jnp.concatenate([feat.desc, jnp.zeros((pad, 8), jnp.uint32)]),
+            valid=jnp.concatenate([feat.valid, jnp.zeros((pad,), bool)]),
+        )
+        if depth is not None:
+            # sample depth for OF slots lazily: filled by the OF stage via
+            # the depth image is not retained; use -1 (mono-style obs)
+            d = jnp.concatenate([d, jnp.full((pad,), -1.0)])
+            ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
+        else:
+            d = jnp.concatenate([d, jnp.full((pad,), -1.0)])
+            ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
 
     pyr = tuple(klt_ops.build_lk_pyramid(img, cfg.lk_levels))
     return FrameData(feat=feat, depth_kp=d, u_right=ur,

@@ -1,0 +1,70 @@
+"""End-to-end feature-switch variants: OF / ICP / odometry — the reference's
+config-matrix ablation style (SURVEY.md §4: tum_icp_op.yaml etc.)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from geoflowslam_tpu.io.synthetic import SyntheticWorld, SyntheticSequence, Camera
+from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
+from geoflowslam_tpu.state.frame import FrameConfig
+from geoflowslam_tpu.ops.extractor import OrbConfig
+from geoflowslam_tpu.eval.ate import ate_rmse
+
+
+def run_variant(n_frames=30, fps=10.0, **cfg_kw):
+    w, h = 320, 240
+    cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    orb = OrbConfig(n_features=300, n_levels=4, height=h, width=w)
+    fc = FrameConfig(orb=orb, lk_levels=3, cloud_stride=8, cloud_max_pts=1024,
+                     bf=20.0, n_of_slots=cfg_kw.pop("n_of_slots", 0))
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
+                       frame=fc, k_max=24, m_max=4096, **cfg_kw)
+    world = SyntheticWorld(cam)
+    seq = SyntheticSequence(world, fps=fps)
+    slam = SlamSystem(cfg)
+    gt = []
+    for i in range(n_frames):
+        t = i / seq.fps
+        gray, depth, (rot_cw, t_cw) = seq.frame(t)
+        if cfg.use_odom:
+            from geoflowslam_tpu.io.synthetic import smooth_trajectory
+            _, _, v, _, _ = smooth_trajectory(jnp.asarray(t))
+            slam.set_odom(np.asarray(v))
+        slam.track_rgbd(gray, depth, t)
+        twc = np.eye(4)
+        rwc = np.asarray(rot_cw).T
+        twc[:3, :3] = rwc
+        twc[:3, 3] = -rwc @ np.asarray(t_cw)
+        gt.append((t, twc))
+    return slam, gt
+
+
+@pytest.mark.slow
+def test_of_tracking():
+    # low fps = large inter-frame motion, where the OF streams matter (the
+    # spatial dedup mask correctly appends few points under slow motion)
+    slam, gt = run_variant(use_of=True, n_of_slots=256, fps=5.0)
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    n3d, n2d = getattr(slam, "debug_of", (0, 0))
+    assert n3d + n2d > 5, (n3d, n2d)
+    m = ate_rmse(slam.trajectory, gt)
+    assert m["ate_rmse"] < 0.06, m
+
+
+@pytest.mark.slow
+def test_icp_tracking():
+    slam, gt = run_variant(use_icp=True, icp_min_inliers=100)
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    m = ate_rmse(slam.trajectory, gt)
+    assert m["ate_rmse"] < 0.05, m
+
+
+@pytest.mark.slow
+def test_odom_assist():
+    slam, gt = run_variant(use_odom=True)
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    m = ate_rmse(slam.trajectory, gt)
+    assert m["ate_rmse"] < 0.05, m
