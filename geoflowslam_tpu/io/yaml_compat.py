@@ -1,0 +1,142 @@
+"""Reference settings-YAML compatibility layer.
+
+Parses the reference's OpenCV-FileStorage YAML configs (the exact files under
+/root/reference/Examples/*/config and script/run_orbslam/*/config — flat
+`Section.key: value` keys with a `%YAML:1.0` header and occasional
+`!!opencv-matrix` blocks) into a SystemConfig, mirroring the typed Settings
+reader (/root/reference/src/Settings.cc, include/Settings.h:81-160) and the
+GeoFlow-specific keys (SURVEY.md §5: UseOpticalFlow, UseClahe, UseICP,
+ICPMethod, UseRobotOdom, LKWindowSize, MASK_THRESHOLD, TimeRecentlyLost,
+InsertKFsWhenLost, IMU.*, LidarMapping.*, ...).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def parse_opencv_yaml(path: str) -> Dict[str, Any]:
+    """Minimal OpenCV-YAML parser: flat scalars + opencv-matrix blocks."""
+    out: Dict[str, Any] = {}
+    with open(path) as f:
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#")[0].rstrip()
+        i += 1
+        if not line or line.startswith("%YAML") or line.strip() == "---":
+            continue
+        m = re.match(r"^([A-Za-z0-9_.]+):\s*(.*)$", line.strip())
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if val.startswith("!!opencv-matrix") or val == "":
+            # matrix block: rows/cols/dt/data
+            rows = cols = None
+            data = []
+            while i < len(lines):
+                s = lines[i].strip()
+                if re.match(r"^[A-Za-z0-9_.]+:", s) and not any(
+                        s.startswith(p) for p in ("rows:", "cols:", "dt:", "data:")):
+                    break
+                i += 1
+                if s.startswith("rows:"):
+                    rows = int(s.split(":")[1])
+                elif s.startswith("cols:"):
+                    cols = int(s.split(":")[1])
+                elif s.startswith("data:"):
+                    buf = s.split(":", 1)[1]
+                    while "]" not in buf and i < len(lines):
+                        buf += lines[i]
+                        i += 1
+                    nums = re.findall(r"[-+0-9.eE]+", buf)
+                    data = [float(x) for x in nums]
+            if rows and cols and data:
+                out[key] = np.asarray(data, np.float32).reshape(rows, cols)
+            continue
+        # scalar
+        v = val.strip().strip('"')
+        try:
+            out[key] = int(v)
+        except ValueError:
+            try:
+                out[key] = float(v)
+            except ValueError:
+                out[key] = v
+    return out
+
+
+def system_config_from_yaml(path: str, sensor: Optional[str] = None,
+                            **overrides):
+    """Build a SystemConfig (+ FrameConfig/OrbConfig/ImuConfig) from a
+    reference YAML file. `sensor` overrides auto-detection."""
+    from geoflowslam_tpu.pipeline.system import SystemConfig
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    from geoflowslam_tpu.state.frame import FrameConfig
+    from geoflowslam_tpu.ops.extractor import OrbConfig
+
+    y = parse_opencv_yaml(path)
+
+    def get(key, default):
+        return y.get(key, default)
+
+    fx = float(get("Camera1.fx", get("Camera.fx", 400.0)))
+    fy = float(get("Camera1.fy", get("Camera.fy", 400.0)))
+    cx = float(get("Camera1.cx", get("Camera.cx", 320.0)))
+    cy = float(get("Camera1.cy", get("Camera.cy", 240.0)))
+    width = int(get("Camera.width", 640))
+    height = int(get("Camera.height", 480))
+    bf = float(get("Camera.bf", get("Camera.bf_", 40.0)))
+    fps = float(get("Camera.fps", 30.0))
+    depth_factor = float(get("RGBD.DepthMapFactor", get("DepthMapFactor", 1.0)))
+    th_depth = float(get("Stereo.ThDepth", get("ThDepth", 40.0)))
+
+    orb = OrbConfig(
+        n_features=int(get("ORBextractor.nFeatures", 1000)),
+        scale_factor=float(get("ORBextractor.scaleFactor", 1.2)),
+        n_levels=int(get("ORBextractor.nLevels", 8)),
+        ini_th_fast=float(get("ORBextractor.iniThFAST", 20)),
+        min_th_fast=float(get("ORBextractor.minThFAST", 7)),
+        height=height, width=width,
+    )
+    use_of = bool(get("UseOpticalFlow", 0))
+    frame = FrameConfig(
+        orb=orb,
+        use_clahe=bool(get("UseClahe", 0)),
+        bf=bf,
+        depth_map_factor=1.0 / depth_factor if depth_factor > 1.0 else 1.0,
+        n_of_slots=256 if use_of else 0,
+    )
+
+    imu_cfg = None
+    if "IMU.NoiseGyro" in y or "IMU.Frequency" in y:
+        t_bc = y.get("IMU.T_b_c1", y.get("Tbc", np.eye(4, dtype=np.float32)))
+        imu_cfg = ImuConfig(
+            freq=float(get("IMU.Frequency", 200.0)),
+            noise_gyro=float(get("IMU.NoiseGyro", 1.7e-4)),
+            noise_acc=float(get("IMU.NoiseAcc", 2e-3)),
+            walk_gyro=float(get("IMU.GyroWalk", 1.9e-5)),
+            walk_acc=float(get("IMU.AccWalk", 3e-3)),
+            t_bc=np.asarray(t_bc, np.float32).reshape(4, 4),
+        )
+
+    if sensor is None:
+        sensor = "rgbd" if depth_factor != 1.0 or "RGBD.DepthMapFactor" in y \
+            else "mono"
+
+    cfg = SystemConfig(
+        fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, frame=frame, sensor=sensor,
+        imu=imu_cfg,
+        close_depth=bf / fx * th_depth if th_depth > 0 else 0.0,
+        use_of=use_of,
+        use_icp=bool(get("UseICP", 0)),
+        icp_method="ndt" if str(get("ICPMethod", "GICP")).upper() == "NDT" else "gicp",
+        use_odom=bool(get("UseRobotOdom", 0)),
+        time_recently_lost=float(get("TimeRecentlyLost", 5.0)),
+    )
+    if overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg, y

@@ -32,8 +32,9 @@ _CIRCLE = (
 ARC_LEN = 9  # FAST-9: need >= 9 contiguous pixels
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-9 corner response for every pixel of img [H, W].
+def fast_score_maps(img: jnp.ndarray, thresholds) -> list:
+    """Dense FAST-9 corner responses of img [H, W] for several thresholds,
+    sharing the 16-ring stencil (one shifted-diff pass for all thresholds).
 
     Score is the sum over the ring of max(|diff| - t, 0) on the majority side,
     zeroed where the contiguous-arc test fails (a VLFeat-style response with
@@ -48,8 +49,9 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
         axis=0,
     )  # [16, H, W]
 
-    bright = (diffs > threshold)
-    dark = (diffs < -threshold)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = (ys >= r) & (ys < h - r) & (xs >= r) & (xs < w - r)
 
     def arc_ok(mask):
         # contiguous run >= ARC_LEN on the 16-ring: duplicate then window-sum.
@@ -59,18 +61,19 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
         wins = cs[ARC_LEN:] - cs[:-ARC_LEN]  # [16, H, W]
         return jnp.any(wins >= ARC_LEN, axis=0)
 
-    is_bright = arc_ok(bright)
-    is_dark = arc_ok(dark)
+    out = []
+    for threshold in thresholds:
+        is_bright = arc_ok(diffs > threshold)
+        is_dark = arc_ok(diffs < -threshold)
+        sb = jnp.sum(jnp.maximum(diffs - threshold, 0.0), axis=0)
+        sd = jnp.sum(jnp.maximum(-diffs - threshold, 0.0), axis=0)
+        score = jnp.where(is_bright, sb, 0.0) + jnp.where(is_dark, sd, 0.0)
+        out.append(jnp.where(inside, score, 0.0))
+    return out
 
-    sb = jnp.sum(jnp.maximum(diffs - threshold, 0.0), axis=0)
-    sd = jnp.sum(jnp.maximum(-diffs - threshold, 0.0), axis=0)
-    score = jnp.where(is_bright, sb, 0.0) + jnp.where(is_dark, sd, 0.0)
 
-    # Exclude the border where the ring leaves the image.
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    inside = (ys >= r) & (ys < h - r) & (xs >= r) & (xs < w - r)
-    return jnp.where(inside, score, 0.0)
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    return fast_score_maps(img, [threshold])[0]
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -99,10 +102,9 @@ def detect_level(img: jnp.ndarray, n_keypoints: int, ini_threshold: float,
     3. per-cell top-`per_cell_cap`, then global top-`n_keypoints`.
     """
     h, w = img.shape
-    score_low = nms3x3(fast_score_map(img, min_threshold))
-    # A corner that passes the high threshold also passes the low one with a
-    # response at least (ini - min) larger per ring pixel; recompute cheaply:
-    score_high = nms3x3(fast_score_map(img, ini_threshold))
+    s_low, s_high = fast_score_maps(img, [min_threshold, ini_threshold])
+    score_low = nms3x3(s_low)
+    score_high = nms3x3(s_high)
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]

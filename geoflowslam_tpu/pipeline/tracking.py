@@ -49,6 +49,7 @@ class TrackConfig:
     match_max_dist: int = matching.TH_HIGH
     min_inliers: int = 10
     local_window: int = 10           # K1 covisible KFs
+    lm_max_candidates: int = 2048    # cap on projected local-map points
     max_new_mp_per_kf: int = 256
     close_depth: float = 3.5         # mThDepth analogue for RGBD point creation
 
@@ -204,9 +205,16 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
     scale_ok = (dist > 0.8 * ms.mp_min_dist) & (dist < 1.2 * ms.mp_max_dist)
     cand = cand & (scale_ok | (ms.mp_max_dist <= 0))
 
-    radius = jnp.full((ms.m_max,), cfg.search_radius_lm, jnp.float32)
+    # cap the candidate set: the dense [M, N] search tile is top_k-bound on
+    # TPU; 2048 candidates cover any realistic local window
+    nc = min(cfg.lm_max_candidates, ms.m_max)
+    _, cand_idx = jax.lax.top_k(cand.astype(jnp.float32)
+                                - 1e-7 * jnp.arange(ms.m_max), nc)
+    cand_sub = cand[cand_idx]
+    radius = jnp.full((nc,), cfg.search_radius_lm, jnp.float32)
     m_idx, m_dist = matching.search_by_projection(
-        uv_proj, jnp.zeros((ms.m_max,), jnp.int32), cand, ms.mp_desc,
+        uv_proj[cand_idx], jnp.zeros((nc,), jnp.int32), cand_sub,
+        ms.mp_desc[cand_idx],
         feat.uv, feat.level, feat.desc,
         feat.valid & ~(obs_mp >= 0),  # unmatched slots only
         radius, max_dist=matching.TH_HIGH)
@@ -214,8 +222,7 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
     # visible counter: candidates in frustum
     visible_add = cand.astype(jnp.float32)
     tgt = jnp.where(m_idx >= 0, m_idx, feat.capacity)
-    new_obs = obs_mp.at[tgt].set(jnp.arange(ms.m_max, dtype=jnp.int32)[: ms.m_max],
-                                 mode="drop")
+    new_obs = obs_mp.at[tgt].set(cand_idx.astype(jnp.int32), mode="drop")
     # keep pre-existing assignments where present
     new_obs = jnp.where(obs_mp >= 0, obs_mp, new_obs)
 

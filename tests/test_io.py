@@ -1,0 +1,84 @@
+import os
+import numpy as np
+import pytest
+
+from geoflowslam_tpu.io import datasets, trajectory, yaml_compat
+from geoflowslam_tpu.eval.ate import ate_rmse
+
+
+def test_yaml_compat_parses_reference_config():
+    path = "/root/reference/Examples/ROS2/RGB-D-Inertial/config/g1_op_icp_lidar_indoor1.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference config not mounted")
+    cfg, y = yaml_compat.system_config_from_yaml(path)
+    assert cfg.frame.orb.n_features > 0
+    assert cfg.fx > 100
+    assert y.get("Camera.fps") == 30
+    # GeoFlow switches must round-trip
+    assert isinstance(cfg.use_icp, bool)
+    assert cfg.imu is not None and cfg.imu.freq == 200.0
+
+
+def test_trajectory_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    traj = []
+    for i in range(10):
+        twc = np.eye(4)
+        # random small rotation via rodrigues-ish
+        w = rng.randn(3) * 0.1
+        th = np.linalg.norm(w)
+        k = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        twc[:3, :3] = np.eye(3) + np.sin(th) / max(th, 1e-9) * k \
+            + (1 - np.cos(th)) / max(th * th, 1e-12) * (k @ k)
+        twc[:3, 3] = rng.randn(3)
+        traj.append((float(i) * 0.1, twc))
+    p = str(tmp_path / "traj.txt")
+    trajectory.save_trajectory_tum(p, traj)
+    loaded = trajectory.load_trajectory_tum(p)
+    assert len(loaded) == 10
+    m = ate_rmse(loaded, traj)
+    assert m["ate_rmse"] < 1e-5
+
+    trajectory.save_trajectory_kitti(str(tmp_path / "k.txt"), traj)
+    trajectory.save_trajectory_euroc(str(tmp_path / "e.csv"), traj)
+    assert os.path.getsize(tmp_path / "k.txt") > 0
+
+
+def test_pnm_roundtrip(tmp_path):
+    img = (np.random.RandomState(1).rand(48, 64) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5\n64 48\n255\n" + img.tobytes())
+    loaded = datasets.load_image(p)
+    np.testing.assert_array_equal(loaded, img.astype(np.float32))
+
+
+def test_png_gray_roundtrip(tmp_path):
+    import zlib, struct
+    img = (np.random.RandomState(2).rand(32, 40) * 255).astype(np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(32))
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 40, 32, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    p = str(tmp_path / "x.png")
+    with open(p, "wb") as f:
+        f.write(png)
+    loaded = datasets.load_image(p)
+    np.testing.assert_array_equal(loaded, img.astype(np.float32))
+
+
+def test_imu_between():
+    imu = np.zeros((100, 7))
+    imu[:, 0] = np.arange(100) * 0.005
+    imu[:, 1:4] = 0.1
+    imu[:, 4:7] = 9.8
+    acc, gyro, dts = datasets.imu_between(imu, 0.01, 0.06, 32)
+    assert dts.sum() == pytest.approx(0.05, abs=1e-6)
+    assert (dts > 0).sum() == 10
+    np.testing.assert_allclose(acc[:10], 9.8)
