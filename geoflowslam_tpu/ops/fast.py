@@ -53,21 +53,31 @@ def fast_score_maps(img: jnp.ndarray, thresholds) -> list:
     xs = jnp.arange(w)[None, :]
     inside = (ys >= r) & (ys < h - r) & (xs >= r) & (xs < w - r)
 
-    def arc_ok(mask):
-        # contiguous run >= ARC_LEN on the 16-ring: duplicate then window-sum.
-        m2 = jnp.concatenate([mask, mask[: ARC_LEN - 1]], axis=0).astype(jnp.int32)
-        cs = jnp.cumsum(m2, axis=0)
-        cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
-        wins = cs[ARC_LEN:] - cs[:-ARC_LEN]  # [16, H, W]
-        return jnp.any(wins >= ARC_LEN, axis=0)
+    def arc_ok(bits):
+        """bits: [H, W] int32 with ring membership in bits 0..15. Contiguous
+        run >= 9 detected by bitwise shift-AND folding (one array, no
+        [16, H, W] cumsum stack)."""
+        m = bits | (bits << 16)          # unwrap the circular ring
+        t = m & (m >> 1)                  # runs >= 2
+        t = t & (t >> 2)                  # runs >= 4
+        t = t & (t >> 4)                  # runs >= 8
+        t = t & (m >> 8)                  # runs >= 9
+        return (t & jnp.int32(0xFFFF)) != 0
 
     out = []
     for threshold in thresholds:
-        is_bright = arc_ok(diffs > threshold)
-        is_dark = arc_ok(diffs < -threshold)
-        sb = jnp.sum(jnp.maximum(diffs - threshold, 0.0), axis=0)
-        sd = jnp.sum(jnp.maximum(-diffs - threshold, 0.0), axis=0)
-        score = jnp.where(is_bright, sb, 0.0) + jnp.where(is_dark, sd, 0.0)
+        bright_bits = jnp.zeros((h, w), jnp.int32)
+        dark_bits = jnp.zeros((h, w), jnp.int32)
+        sb = jnp.zeros((h, w), img.dtype)
+        sd = jnp.zeros((h, w), img.dtype)
+        for k in range(16):
+            d = diffs[k]
+            bright_bits = bright_bits | ((d > threshold).astype(jnp.int32) << k)
+            dark_bits = dark_bits | ((d < -threshold).astype(jnp.int32) << k)
+            sb = sb + jnp.maximum(d - threshold, 0.0)
+            sd = sd + jnp.maximum(-d - threshold, 0.0)
+        score = jnp.where(arc_ok(bright_bits), sb, 0.0) \
+            + jnp.where(arc_ok(dark_bits), sd, 0.0)
         out.append(jnp.where(inside, score, 0.0))
     return out
 

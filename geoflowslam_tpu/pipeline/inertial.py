@@ -107,6 +107,39 @@ class InertialTracker:
         self.kf_order.append(kf_slot)
         self.pending = None
 
+    def build_segments(self, slots):
+        """Stack per-KF preintegrations for a temporal window into the
+        ImuSegments pytree consumed by vi_ba_step. slots: oldest-first KF
+        slot list; segment i connects slots[i] -> slots[i+1]."""
+        from geoflowslam_tpu.solvers.inertial_ba import ImuSegments
+
+        n = len(slots) - 1
+        fields = {k: [] for k in
+                  ("dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa",
+                   "info9", "dt", "bias0")}
+        valid = []
+        eye9 = jnp.eye(9)
+        ident = pre.Preintegrated.identity(1)
+        for i in range(n):
+            s = slots[i + 1]
+            p = self.kf_preints.get(s)
+            ok = p is not None and float(p.dt) > 1e-6
+            if p is None:
+                p = ident
+            fields["dR"].append(p.dR); fields["dV"].append(p.dV)
+            fields["dP"].append(p.dP); fields["JRg"].append(p.JRg)
+            fields["JVg"].append(p.JVg); fields["JVa"].append(p.JVa)
+            fields["JPg"].append(p.JPg); fields["JPa"].append(p.JPa)
+            # covariance floor = integration noise; keeps the information
+            # finite when the window is short / motion is smooth
+            fields["info9"].append(jnp.linalg.inv(p.cov[:9, :9] + 1e-6 * eye9))
+            fields["dt"].append(p.dt)
+            fields["bias0"].append(p.bias)
+            valid.append(ok)
+        return ImuSegments(
+            **{k: jnp.stack(v) for k, v in fields.items()},
+            valid=jnp.asarray(valid))
+
     # -- initialization ----------------------------------------------------
 
     def try_initialize(self, ms: M.MapState, scale_free: bool = False):

@@ -90,27 +90,24 @@ def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig):
     return kf_idx, in_win, fixed
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
-    """Extract the covisibility window, run Schur BA, write back."""
-    kf_idx, in_win, fixed = _select_window(ms, center_kf, cfg)
+def extract_ba_problem(ms: M.MapState, kf_idx, in_win, fixed,
+                       cfg: MappingConfig):
+    """Build a dense BAProblem for the given KF slots. Returns
+    (problem, mp_idx, ctx) where ctx carries the scatter indices needed by
+    `writeback_ba`."""
     kw = kf_idx.shape[0]
-
-    # landmarks: points seen by optimized-window KFs
     inc = M.observation_incidence(ms)
     opt_sel = (in_win & ~fixed).astype(jnp.float32)
     w_opt = jnp.zeros((ms.k_max,)).at[kf_idx].add(opt_sel)
     mp_score = jnp.einsum("k,km->m", w_opt, inc) * ms.mp_valid
     mvals, mp_idx = jax.lax.top_k(mp_score, cfg.ba_max_pts)
     mp_in = mvals > 0
-    # mp slot -> local index lookup
     lookup = jnp.full((ms.m_max + 1,), -1, jnp.int32)
     lookup = lookup.at[mp_idx].set(jnp.arange(cfg.ba_max_pts, dtype=jnp.int32))
 
-    # observations: for each window KF and each of its keypoints
     obs = ms.kf_obs_mp[kf_idx]                      # [KW, N]
     kp_valid = ms.kf_kp_valid[kf_idx]
-    local_m = lookup[jnp.clip(obs, -1, ms.m_max)]   # [KW, N] (-1 if not in BA)
+    local_m = lookup[jnp.clip(obs, -1, ms.m_max)]
     has = (obs >= 0) & (local_m >= 0) & kp_valid & in_win[:, None]
 
     uv_kp = ms.kf_uv[kf_idx]
@@ -119,17 +116,14 @@ def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
     ur_kp = jnp.where(d_kp > 0, uv_kp[..., 0] - cfg.bf / jnp.maximum(d_kp, 1e-6), -1.0)
 
     ml = cfg.ba_max_pts
-    tgt = jnp.where(has, local_m, ml)               # OOB drop for absent
+    tgt = jnp.where(has, local_m, ml)
     kk = jnp.broadcast_to(jnp.arange(kw)[:, None], obs.shape)
 
-    uv = jnp.zeros((kw, ml, 2))
-    uv = uv.at[kk, tgt].set(uv_kp, mode="drop")
-    urg = jnp.zeros((kw, ml))
-    urg = urg.at[kk, tgt].set(ur_kp, mode="drop")
-    sig = jnp.zeros((kw, ml))
-    sig = sig.at[kk, tgt].set(_inv_sigma2(lvl_kp, cfg.scale_factor), mode="drop")
-    ovalid = jnp.zeros((kw, ml), bool)
-    ovalid = ovalid.at[kk, tgt].set(True, mode="drop")
+    uv = jnp.zeros((kw, ml, 2)).at[kk, tgt].set(uv_kp, mode="drop")
+    urg = jnp.zeros((kw, ml)).at[kk, tgt].set(ur_kp, mode="drop")
+    sig = jnp.zeros((kw, ml)).at[kk, tgt].set(
+        _inv_sigma2(lvl_kp, cfg.scale_factor), mode="drop")
+    ovalid = jnp.zeros((kw, ml), bool).at[kk, tgt].set(True, mode="drop")
 
     prob = local_ba.BAProblem(
         kf_rot=ms.kf_rot[kf_idx], kf_t=ms.kf_t[kf_idx],
@@ -138,10 +132,13 @@ def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
         uv=uv, u_right=urg, is_stereo=urg > 0,
         inv_sigma2=sig, obs_valid=ovalid,
     )
-    out, obs_inl = local_ba.local_bundle_adjustment(
-        prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+    ctx = (kk, tgt, has, local_m, obs, ovalid)
+    return prob, mp_idx, mp_in, ctx
 
-    # write back poses & points
+
+def writeback_ba(ms: M.MapState, out, obs_inl, kf_idx, in_win, fixed,
+                 mp_idx, mp_in, ctx):
+    kk, tgt, has, local_m, obs, ovalid = ctx
     upd = in_win & ~fixed
     ms = ms._replace(
         kf_rot=ms.kf_rot.at[kf_idx].set(
@@ -151,13 +148,50 @@ def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
         mp_pos=ms.mp_pos.at[mp_idx].set(
             jnp.where(mp_in[:, None], out.pts, ms.mp_pos[mp_idx])),
     )
-
-    # prune outlier observations (reference erases outlier edges post-BA)
-    bad = ovalid & ~obs_inl                          # [KW, ML]
+    bad = ovalid & ~obs_inl
     bad_kp = bad[kk, jnp.where(has, local_m, 0)] & has
     new_obs = jnp.where(bad_kp, M.NO_MP, obs)
-    ms = ms._replace(kf_obs_mp=ms.kf_obs_mp.at[kf_idx].set(new_obs))
-    return ms, jnp.sum(ovalid).astype(jnp.int32)
+    return ms._replace(kf_obs_mp=ms.kf_obs_mp.at[kf_idx].set(new_obs))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
+    """Extract the covisibility window, run Schur BA, write back."""
+    kf_idx, in_win, fixed = _select_window(ms, center_kf, cfg)
+    prob, mp_idx, mp_in, ctx = extract_ba_problem(ms, kf_idx, in_win, fixed, cfg)
+    out, obs_inl = local_ba.local_bundle_adjustment(
+        prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+    ms = writeback_ba(ms, out, obs_inl, kf_idx, in_win, fixed, mp_idx, mp_in, ctx)
+    return ms, jnp.sum(prob.obs_valid).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kw"))
+def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
+               walk_info, cfg: MappingConfig, kw: int):
+    """LocalInertialBA over a temporal KF window (pipeline glue around
+    solvers/inertial_ba.vi_local_ba). kf_slots [KW] oldest-first; segment i
+    connects slots i and i+1."""
+    from geoflowslam_tpu.solvers import inertial_ba as VIBA
+
+    in_win = slot_valid
+    fixed = jnp.zeros((kw,), bool).at[0].set(True)
+    prob_vis, mp_idx, mp_in, ctx = extract_ba_problem(
+        ms, kf_slots, in_win, fixed, cfg)
+    prob = VIBA.VIBAProblem(
+        vis=prob_vis,
+        kf_vel=ms.kf_vel[kf_slots], kf_bias=ms.kf_bias[kf_slots],
+        segs=segs, r_cb=r_cb, t_cb=t_cb, walk_info=walk_info)
+    out, obs_inl = VIBA.vi_local_ba(prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
+    ms = writeback_ba(ms, out.vis, obs_inl, kf_slots, in_win, fixed,
+                      mp_idx, mp_in, ctx)
+    upd = in_win & ~fixed
+    ms = ms._replace(
+        kf_vel=ms.kf_vel.at[kf_slots].set(
+            jnp.where(upd[:, None], out.kf_vel, ms.kf_vel[kf_slots])),
+        kf_bias=ms.kf_bias.at[kf_slots].set(
+            jnp.where(upd[:, None], out.kf_bias, ms.kf_bias[kf_slots])),
+    )
+    return ms, jnp.sum(prob_vis.obs_valid).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,7 @@ class SystemConfig:
     icp_method: str = "gicp"            # ICPMethod: "gicp" | "ndt"
     icp_min_inliers: int = 200          # inlier gate (src/Tracking.cc:3394)
     use_odom: bool = False              # UseRobotOdom (legged odometry)
+    use_lidar: bool = False             # UsePointCloudObs (point-to-plane)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -125,6 +126,13 @@ class SlamSystem:
         self._odom_vel = None
         self._icp_prior = None
         self.last_frame = None
+        if cfg.use_lidar:
+            from geoflowslam_tpu.pipeline import lidar_mapping as LD
+            self._lidar_cfg = LD.LidarConfig()
+            self.lidar_map = LD.create_local_map(self._lidar_cfg)
+            self.global_map = LD.GlobalMap(self._lidar_cfg)
+        else:
+            self.lidar_map = None
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
@@ -281,6 +289,14 @@ class SlamSystem:
         else:
             res2, n2 = res, n1
 
+        # point-to-plane refinement against the dense local map
+        # (PoseLidarVisualOptimization, src/Optimizer.cc:7698)
+        if (self.cfg.use_lidar and self.lidar_map is not None
+                and n2 >= self.cfg.min_inliers_ok
+                and bool(self.lidar_map.valid.any())):
+            res2 = self._lidar_refine(frame, res2)
+            n2 = int(res2.n_inliers)
+
         # VI refinement (PoseInertialOptimizationLastFrame analogue): fuse
         # the preintegrated IMU factor with the visual matches.
         if (self.imu is not None and self.imu.initialized
@@ -399,6 +415,29 @@ class SlamSystem:
         ri, ti = lie.se3_inverse(res.rot, res.t)
         return lie.se3_compose(ri, ti, self.cur_rot, self.cur_t)
 
+    def _lidar_refine(self, frame: FrameData, res: T.TrackResult):
+        """Re-run the pose GN with reprojection + point-to-plane terms."""
+        from geoflowslam_tpu.pipeline import lidar_mapping as LD
+
+        pl = LD.make_plane_obs(self.lidar_map, frame.cloud, frame.cloud_valid,
+                               res.rot, res.t, self._lidar_cfg)
+        has = res.obs_mp >= 0
+        mp_idx = jnp.maximum(res.obs_mp, 0)
+        feat = frame.feat
+        valid = has & self.ms.mp_valid[mp_idx] & feat.valid
+        obs = PO.PoseObs(
+            pts_w=self.ms.mp_pos[mp_idx], uv=feat.uv, u_right=frame.u_right,
+            is_stereo=valid & (frame.u_right > 0),
+            inv_sigma2=1.0 / (self.tcfg.scale_factor
+                              ** feat.level.astype(jnp.float32)) ** 2,
+            valid=valid)
+        rot, t, inl, n_inl = PO.pose_optimization(
+            res.rot, res.t, obs, self.cfg.fx, self.cfg.fy, self.cfg.cx,
+            self.cfg.cy, self.cfg.bf, plane_obs=pl, rounds=2, iters_per_round=5)
+        return T.TrackResult(rot=rot, t=t,
+                             obs_mp=jnp.where(inl, res.obs_mp, -1),
+                             n_inliers=n_inl)
+
     def _vi_refine(self, frame: FrameData, res: T.TrackResult, pred_body):
         """Fuse visual matches + IMU factor into the current body state."""
         imu = self.imu
@@ -492,7 +531,24 @@ class SlamSystem:
             self.ms, _ = LM.triangulate_new_points(
                 self.ms, jnp.int32(kf_slot), self.mcfg)
         if self.cfg.local_ba_every_kf:
-            self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
+            ran_vi = False
+            if (self.imu is not None and self.imu.initialized
+                    and len(self.imu.kf_order) >= 4):
+                # LocalInertialBA over the temporal window
+                kw = min(8, len(self.imu.kf_order))
+                slots = self.imu.kf_order[-kw:]
+                if all(s in self.imu.kf_preints for s in slots[1:]):
+                    segs = self.imu.build_segments(slots)
+                    self.ms, _ = LM.vi_ba_step(
+                        self.ms, jnp.asarray(slots, jnp.int32),
+                        jnp.ones((kw,), bool), segs,
+                        self.imu.r_cb, self.imu.t_cb,
+                        jnp.linalg.inv(self.imu.calib.cov_walk
+                                       + 1e-12 * jnp.eye(6)),
+                        self.mcfg, kw)
+                    ran_vi = True
+            if not ran_vi:
+                self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
             # BA moved the map: re-anchor the current pose and the IMU body
             # state to the optimized KF (the reference's mbMapUpdated /
             # UpdateFrameIMU re-anchoring, src/Tracking.cc:4875)
@@ -503,6 +559,15 @@ class SlamSystem:
                 self.imu.body = self.imu.body_from_cam(
                     self.cur_rot, self.cur_t, v=self.imu.body.v)
         self.ms = LM.cull_step(self.ms)
+        if self.cfg.use_lidar and self.lidar_map is not None:
+            from geoflowslam_tpu.pipeline import lidar_mapping as LD
+            oldest = max(int(kf_slot) - self._lidar_cfg.window_kfs, 0)
+            self.lidar_map = LD.insert_kf_cloud(
+                self.lidar_map, frame.cloud, frame.cloud_valid,
+                self.ms.kf_rot[kf_slot], self.ms.kf_t[kf_slot],
+                jnp.int32(kf_slot), jnp.int32(oldest), self._lidar_cfg)
+            self.global_map.add(frame.cloud, frame.cloud_valid,
+                                self.ms.kf_rot[kf_slot], self.ms.kf_t[kf_slot])
         if self.loop_closer is not None:
             self.ms, found = self.loop_closer.on_keyframe(self.ms, int(kf_slot))
             if found:

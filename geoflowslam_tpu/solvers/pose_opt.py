@@ -44,6 +44,15 @@ class PoseObs(NamedTuple):
     valid: jnp.ndarray       # [N] bool
 
 
+class PlaneObs(NamedTuple):
+    """Point-to-plane observations (EdgeLidarPoint2Plane,
+    include/G2oTypes.h:602): residual n^T (T_wc p_c) + d."""
+    pts_c: jnp.ndarray    # [L,3] camera-frame points
+    normal: jnp.ndarray   # [L,3] world plane normals
+    d: jnp.ndarray        # [L] offsets
+    valid: jnp.ndarray    # [L]
+
+
 class PosePrior(NamedTuple):
     """Quadratic prior on the pose: 0.5 * e^T H e with e = log(T_prior^-1 T).
 
@@ -100,6 +109,23 @@ def _huber_w(chi2, delta):
     return jnp.where(s <= delta, 1.0, delta / s)
 
 
+def _plane_terms(rot, t, pl: PlaneObs, huber: float = 0.1):
+    """H, g contributions of the point-to-plane factors.
+
+    p_w = R_cw^T (p_c - t_cw); left-mult update on Tcw gives
+    dp_w/d[rho,phi] = R_wc [-I | hat(p_c)]."""
+    rot_wc = rot.T
+    pw = (pl.pts_c - t) @ rot
+    r = jnp.einsum("li,li->l", pl.normal, pw) + pl.d          # [L]
+    n_c = pl.normal @ rot_wc                                   # n^T R_wc -> [L,3]
+    jac = jnp.concatenate([-n_c, jnp.cross(n_c, pl.pts_c)], axis=1)  # [L,6]
+    w = jnp.where(jnp.abs(r) <= huber, 1.0, huber / jnp.maximum(jnp.abs(r), 1e-9))
+    w = w * pl.valid.astype(r.dtype)
+    h = jnp.einsum("l,li,lj->ij", w, jac, jac)
+    g = -jnp.einsum("l,li,l->i", w, jac, r)
+    return h, g, r
+
+
 def _prior_residual(rot, t, prior: PosePrior):
     """e = log(T_prior * T^-1) in [rho, phi]; J wrt left-mult update ~ -I
     (first order, the same approximation g2o uses for these priors)."""
@@ -112,6 +138,7 @@ def pose_optimization(
     rot0: jnp.ndarray, t0: jnp.ndarray, obs: PoseObs,
     fx, fy, cx, cy, bf=0.0,
     prior: Optional[PosePrior] = None,
+    plane_obs: Optional[PlaneObs] = None,
     rounds: int = 4, iters_per_round: int = 10,
     min_obs_for_update: int = 3,
 ):
@@ -137,6 +164,10 @@ def pose_optimization(
             wr = w[:, None] * row_mask
             h = jnp.einsum("nri,nr,nrj->ij", jac, wr, jac)
             g = -jnp.einsum("nri,nr->i", jac, wr * r)
+            if plane_obs is not None:
+                hp, gp, _ = _plane_terms(rot, t, plane_obs)
+                h = h + hp
+                g = g + gp
             # LM-style damping for safety
             h = h + 1e-6 * jnp.eye(6, dtype=h.dtype)
             dx = jnp.linalg.solve(h, g)

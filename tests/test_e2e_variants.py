@@ -68,3 +68,14 @@ def test_odom_assist():
     assert stats["state"] == "OK", stats
     m = ate_rmse(slam.trajectory, gt)
     assert m["ate_rmse"] < 0.05, m
+
+
+@pytest.mark.slow
+def test_lidar_tracking():
+    slam, gt = run_variant(use_lidar=True)
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    m = ate_rmse(slam.trajectory, gt)
+    assert m["ate_rmse"] < 0.05, m
+    # global map accumulates
+    assert len(slam.global_map.points()) > 500
