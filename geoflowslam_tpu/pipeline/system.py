@@ -110,6 +110,8 @@ class SlamSystem:
         self.n_lost = 0
 
         self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
+        from geoflowslam_tpu.utils.timers import StageTimers
+        self.timers = StageTimers()
         self.imu = InertialTracker(cfg.imu) if cfg.imu is not None else None
         self._p_frame = None  # preintegration of the current frame gap
         self.vocab = vocab
@@ -137,8 +139,10 @@ class SlamSystem:
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
     def track_rgbd(self, gray, depth, timestamp: float):
-        frame = self._build_frame(jnp.asarray(gray, jnp.float32),
-                                  jnp.asarray(depth, jnp.float32))
+        with self.timers.time("ORB_extract"):
+            frame = self._build_frame(jnp.asarray(gray, jnp.float32),
+                                      jnp.asarray(depth, jnp.float32))
+            jax.block_until_ready(frame.feat.uv)
         return self._track(frame, timestamp)
 
     def track_monocular(self, gray, timestamp: float):
@@ -158,10 +162,11 @@ class SlamSystem:
     # -- internals ---------------------------------------------------------
 
     def _track(self, frame: FrameData, timestamp: float):
-        if self.state == TrackingState.NOT_INITIALIZED:
-            self._initialize(frame, timestamp)
-        else:
-            self._track_frame(frame, timestamp)
+        with self.timers.time("Track_total"):
+            if self.state == TrackingState.NOT_INITIALIZED:
+                self._initialize(frame, timestamp)
+            else:
+                self._track_frame(frame, timestamp)
 
         self.last_time = timestamp
         self.n_frames += 1
@@ -499,6 +504,7 @@ class SlamSystem:
 
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
+        _t_kf = __import__("time").perf_counter()
         ms, kf_slot, n_new = T.create_keyframe(
             self.ms, frame, res.rot, res.t, jnp.float32(timestamp),
             res.obs_mp, jnp.int32(self.ref_kf), self.tcfg)
@@ -530,6 +536,8 @@ class SlamSystem:
             # covisible neighbour (RGB-D creates points from depth instead)
             self.ms, _ = LM.triangulate_new_points(
                 self.ms, jnp.int32(kf_slot), self.mcfg)
+        _t_ba = __import__("time").perf_counter()
+        self.timers.add("New_KF", (_t_ba - _t_kf) * 1000)
         if self.cfg.local_ba_every_kf:
             ran_vi = False
             if (self.imu is not None and self.imu.initialized
@@ -549,6 +557,8 @@ class SlamSystem:
                     ran_vi = True
             if not ran_vi:
                 self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
+            jax.block_until_ready(self.ms.kf_t)
+            self.timers.add("LBA", (__import__("time").perf_counter() - _t_ba) * 1000)
             # BA moved the map: re-anchor the current pose and the IMU body
             # state to the optimized KF (the reference's mbMapUpdated /
             # UpdateFrameIMU re-anchoring, src/Tracking.cc:4875)
@@ -558,7 +568,8 @@ class SlamSystem:
             if self.imu is not None and self.imu.initialized and self.imu.body is not None:
                 self.imu.body = self.imu.body_from_cam(
                     self.cur_rot, self.cur_t, v=self.imu.body.v)
-        self.ms = LM.cull_step(self.ms)
+        with self.timers.time("MP_culling"):
+            self.ms = LM.cull_step(self.ms)
         if self.cfg.use_lidar and self.lidar_map is not None:
             from geoflowslam_tpu.pipeline import lidar_mapping as LD
             oldest = max(int(kf_slot) - self._lidar_cfg.window_kfs, 0)
@@ -606,6 +617,43 @@ class SlamSystem:
 
     def _record_pose(self, timestamp: float):
         self.trajectory.append((timestamp, self.current_pose_wc()))
+
+    def save_atlas(self, path: str):
+        """System::SaveAtlas analogue (npz + vocabulary checksum gate)."""
+        from geoflowslam_tpu.state.serialize import save_atlas
+        save_atlas(path, self.ms, self.vocab,
+                   extra={"sensor": self.cfg.sensor,
+                          "n_frames": self.n_frames})
+
+    def load_atlas(self, path: str):
+        """System::LoadAtlas: restore the map; a new active map is created
+        on top for the ongoing session (the reference does the same)."""
+        from geoflowslam_tpu.state.serialize import load_atlas
+        self.ms, extra = load_atlas(path, self.vocab)
+        self.ms = M.create_new_map(self.ms)
+        self.state = TrackingState.NOT_INITIALIZED
+        return extra
+
+    def shutdown(self, save_dir: Optional[str] = None):
+        """System::Shutdown: flush stats (+ lidar global map) to save_dir."""
+        if save_dir is None:
+            return
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        self.timers.write_all(save_dir, {
+            "sensor": self.cfg.sensor,
+            "n_frames": self.n_frames,
+            "n_lost": self.n_lost,
+            **{k: v for k, v in self.map_stats().items()},
+        })
+        if self.lidar_map is not None:
+            self.global_map.save_pcd(os.path.join(save_dir, "globalMap.pcd"))
+        from geoflowslam_tpu.io.trajectory import save_trajectory_tum
+        save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"),
+                            self.trajectory)
+        from geoflowslam_tpu.io.trajectory import keyframe_trajectory
+        save_trajectory_tum(os.path.join(save_dir, "KeyFrameTrajectory.txt"),
+                            keyframe_trajectory(self.ms))
 
     def map_stats(self):
         return {
