@@ -150,6 +150,27 @@ class SlamSystem:
         frame = self._build_frame_mono(jnp.asarray(gray, jnp.float32))
         return self._track(frame, timestamp)
 
+    def track_stereo(self, gray_l, gray_r, timestamp: float):
+        """System::TrackStereo: extract on the left image, depth from the
+        epipolar SAD matcher (Frame::ComputeStereoMatches), then the RGB-D
+        path (identical u_right/depth semantics downstream)."""
+        from geoflowslam_tpu.ops.stereo import stereo_match
+
+        gl = jnp.asarray(gray_l, jnp.float32)
+        gr = jnp.asarray(gray_r, jnp.float32)
+        frame = self._build_frame_mono(gl)
+        ur, depth = stereo_match(gl, gr, frame.feat.uv, frame.feat.valid,
+                                 self.cfg.bf)
+        frame = frame._replace(u_right=ur, depth_kp=depth)
+        return self._track(frame, timestamp)
+
+    def track_stereo_inertial(self, gray_l, gray_r, acc, gyro, dts,
+                              timestamp: float):
+        """Stereo-Inertial mode (EuRoC configs[2])."""
+        assert self.imu is not None
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts)
+        return self.track_stereo(gray_l, gray_r, timestamp)
+
     def track_rgbd_inertial(self, gray, depth, acc, gyro, dts, timestamp: float):
         """System::TrackRGBD with IMU measurements (GrabImuData +
         PreintegrateIMU + PredictStateIMU + VI pose optimization)."""

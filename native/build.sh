@@ -1,0 +1,7 @@
+#!/bin/bash
+# Build the native runtime components.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -std=c++17 -fPIC -shared -pthread \
+    frame_loader.cpp -o libgfs_native.so -lz
+echo "built native/libgfs_native.so"

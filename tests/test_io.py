@@ -82,3 +82,31 @@ def test_imu_between():
     assert dts.sum() == pytest.approx(0.05, abs=1e-6)
     assert (dts > 0).sum() == 10
     np.testing.assert_allclose(acc[:10], 9.8)
+
+
+def test_native_loader(tmp_path):
+    from geoflowslam_tpu.io import native_loader as NL
+    if not NL.native_available():
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(3)
+    rgbs, deps, truth = [], [], []
+    for i in range(6):
+        img = (rng.rand(48, 64) * 255).astype(np.uint8)
+        p = str(tmp_path / f"g{i}.pgm")
+        with open(p, "wb") as f:
+            f.write(b"P5\n64 48\n255\n" + img.tobytes())
+        d16 = (rng.rand(48, 64) * 5000).astype(">u2")
+        pd = str(tmp_path / f"d{i}.pgm")
+        with open(pd, "wb") as f:
+            f.write(b"P5\n64 48\n65535\n" + d16.tobytes())
+        rgbs.append(p); deps.append(pd)
+        truth.append((img.astype(np.float32), d16.astype(np.float32) / 5000.0))
+    loader = NL.FrameLoader(rgbs, deps, height=48, width=64,
+                            depth_scale=1.0 / 5000.0)
+    seen = []
+    for idx, g, d in loader:
+        np.testing.assert_array_equal(g, truth[idx][0])
+        np.testing.assert_allclose(d, truth[idx][1], rtol=1e-5)
+        seen.append(idx)
+    assert seen == list(range(6))  # strict ordering
+    loader.close()
