@@ -82,51 +82,95 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0, grid: int = 8,
     """Contrast-limited adaptive histogram equalization.
 
     Equivalent of cv::createCLAHE(3.0, (8,8)) used on every input frame
-    (/root/reference/src/Frame.cc:305-310, Tracking config UseClahe). Built as
-    dense one-hot histograms per tile (matmul-friendly) + bilinear LUT blend;
-    requires H, W divisible by `grid` (true for 640x480 with grid=8).
+    (/root/reference/src/Frame.cc:305-310, Tracking config UseClahe).
+
+    TPU-shaped: scatter-histograms and per-pixel LUT gathers serialize on
+    TPU (~12 ms at 640x480), so both are expressed through a hi/lo nibble
+    decomposition of the 8-bit bin index: one-hot over 16 'hi' and 16 'lo'
+    values turns the histogram into a [16, P] x [P, 16] batched matmul per
+    tile and the LUT application into a ph,hl,pl->p contraction — everything
+    runs on the MXU. Requires H, W divisible by `grid`.
     """
     h, w = img.shape
     th, tw = h // grid, w // grid
-    x = jnp.clip(img, 0, 255)
-    tiles = x.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, th * tw)
-    idx = jnp.round(tiles).astype(jnp.int32)
     n_tiles = grid * grid
-    flat = (jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * n_bins + idx).reshape(-1)
-    hist = jnp.zeros((n_tiles * n_bins,), jnp.float32).at[flat].add(1.0)
-    hist = hist.reshape(n_tiles, n_bins)                             # [T, B]
+    p = th * tw
+    x = jnp.clip(img, 0, 255)
+    tiles = x.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(n_tiles, p)
+    idx = jnp.clip(jnp.round(tiles), 0, 255)
+    hi = jnp.floor(idx / 16.0)
+    lo = idx - hi * 16.0
+
+    rng16 = jnp.arange(16, dtype=jnp.float32)
+    oh_hi = (hi[..., None] == rng16).astype(jnp.bfloat16)     # [T, P, 16]
+    oh_lo = (lo[..., None] == rng16).astype(jnp.bfloat16)
+    # hist2d[t, hi, lo] = sum_p oh_hi * oh_lo  (batched 16xPx16 matmul)
+    hist2d = jnp.einsum("tph,tpl->thl", oh_hi, oh_lo,
+                        preferred_element_type=jnp.float32)
+    hist = hist2d.reshape(n_tiles, n_bins)                    # [T, 256]
+
     # Clip histogram and redistribute excess uniformly (OpenCV semantics).
-    limit = jnp.maximum(clip_limit * (th * tw) / n_bins, 1.0)
+    limit = jnp.maximum(clip_limit * p / n_bins, 1.0)
     clipped = jnp.minimum(hist, limit)
     excess = jnp.sum(hist - clipped, axis=1, keepdims=True)
     hist_c = clipped + excess / n_bins
     cdf = jnp.cumsum(hist_c, axis=1)
-    lut = jnp.clip(jnp.round(cdf * (255.0 / (th * tw))), 0, 255)     # [T, B]
-    lut = lut.reshape(grid, grid, n_bins)
+    lut = jnp.clip(jnp.round(cdf * (255.0 / p)), 0, 255)      # [T, 256]
+    lut2d = lut.reshape(grid, grid, 16, 16)                   # [gy, gx, hi, lo]
 
-    # Bilinear interpolation between the 4 neighbouring tile LUTs.
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / th - 0.5
-    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / tw - 0.5
-    y0 = jnp.clip(jnp.floor(ys), 0, grid - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs), 0, grid - 1).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, grid - 1)
-    x1 = jnp.clip(x0 + 1, 0, grid - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
-    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
+    # Per-pixel LUT value for each of the 4 neighbouring tiles, as MXU
+    # contractions: val[t, p] = oh_hi . lut2d[tile] . oh_lo
+    def apply_lut(lut_sel):  # lut_sel: [T, 16, 16] -> [T, P]
+        return jnp.einsum("tph,thl,tpl->tp", oh_hi,
+                          lut_sel.astype(jnp.bfloat16), oh_lo,
+                          preferred_element_type=jnp.float32)
 
-    pix = jnp.round(x).astype(jnp.int32)                             # [H, W]
+    # tile index of each tile's 4 bilinear source tiles: pixels inside tile
+    # (gy, gx) interpolate between tiles (gy0..gy1, gx0..gx1) that depend on
+    # the pixel position within the tile; evaluate the 4 shifted-tile LUTs.
+    ty = jnp.arange(grid)
+    tx = jnp.arange(grid)
 
-    def sample(yi, xi):
-        # lut[yi, xi] per pixel: gather [H, W, B] is huge; instead gather per
-        # pixel bin directly: lut[yi[:,None], xi[None,:], pix]
-        return lut[yi[:, None], xi[None, :], pix]
+    def shifted(dy, dx):
+        yy = jnp.clip(ty + dy, 0, grid - 1)
+        xx = jnp.clip(tx + dx, 0, grid - 1)
+        return lut2d[yy[:, None], xx[None, :]].reshape(n_tiles, 16, 16)
 
-    v00 = sample(y0, x0)
-    v01 = sample(y0, x1)
-    v10 = sample(y1, x0)
-    v11 = sample(y1, x1)
+    v_c = apply_lut(shifted(0, 0))      # own tile
+    v_u = apply_lut(shifted(-1, 0))     # up
+    v_d = apply_lut(shifted(1, 0))
+    v_l = apply_lut(shifted(0, -1))
+    v_r = apply_lut(shifted(0, 1))
+    v_ul = apply_lut(shifted(-1, -1))
+    v_ur = apply_lut(shifted(-1, 1))
+    v_dl = apply_lut(shifted(1, -1))
+    v_dr = apply_lut(shifted(1, 1))
+
+    # bilinear weights within each tile (pixel at local (py, px))
+    py = (jnp.arange(th, dtype=jnp.float32) + 0.5) / th - 0.5   # in [-0.5, 0.5)
+    px = (jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw - 0.5
+    wy_up = jnp.maximum(-py, 0.0)[:, None]     # weight of the tile above
+    wy_dn = jnp.maximum(py, 0.0)[:, None]
+    wy_c = 1.0 - wy_up - wy_dn
+    wx_lf = jnp.maximum(-px, 0.0)[None, :]
+    wx_rt = jnp.maximum(px, 0.0)[None, :]
+    wx_c = 1.0 - wx_lf - wx_rt
+
+    def t2d(v):  # [T, P] -> [H, W]
+        return v.reshape(grid, grid, th, tw).transpose(0, 2, 1, 3).reshape(h, w)
+
+    wy_up_f = jnp.tile(wy_up, (grid, 1))
+    wy_dn_f = jnp.tile(wy_dn, (grid, 1))
+    wy_c_f = jnp.tile(wy_c, (grid, 1))
+    wx_lf_f = jnp.tile(wx_lf, (1, grid))
+    wx_rt_f = jnp.tile(wx_rt, (1, grid))
+    wx_c_f = jnp.tile(wx_c, (1, grid))
+
     out = (
-        (1 - wy) * ((1 - wx) * v00 + wx * v01)
-        + wy * ((1 - wx) * v10 + wx * v11)
+        t2d(v_c) * wy_c_f * wx_c_f
+        + t2d(v_u) * wy_up_f * wx_c_f + t2d(v_d) * wy_dn_f * wx_c_f
+        + t2d(v_l) * wy_c_f * wx_lf_f + t2d(v_r) * wy_c_f * wx_rt_f
+        + t2d(v_ul) * wy_up_f * wx_lf_f + t2d(v_ur) * wy_up_f * wx_rt_f
+        + t2d(v_dl) * wy_dn_f * wx_lf_f + t2d(v_dr) * wy_dn_f * wx_rt_f
     )
     return out

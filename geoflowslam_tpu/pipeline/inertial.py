@@ -64,7 +64,47 @@ class InertialTracker:
         # per-KF-slot preintegration since the previous KF
         self.kf_preints: Dict[int, pre.Preintegrated] = {}
         self.kf_order: List[int] = []                  # insertion order
-        self.pending: Optional[pre.Preintegrated] = None  # since last KF
+        self.seg_capacity = 512                        # padded KF-segment size
+        self._chunks: List[tuple] = []                 # raw samples since last KF
+
+    @property
+    def pending(self):
+        """Preintegration since the last KF (computed on demand at a FIXED
+        padded size so the scan compiles once — merging growing buffers per
+        frame would recompile every frame)."""
+        if not self._chunks:
+            return None
+        acc, gyro, dts = self._stack_chunks()
+        return pre.preintegrate(acc, gyro, dts, self.bias, self.calib)
+
+    @pending.setter
+    def pending(self, value):
+        if value is None:
+            self._chunks = []
+        else:
+            self._chunks = [(value.meas_acc, value.meas_gyro, value.meas_dt)]
+
+    def _stack_chunks(self):
+        import numpy as np
+        acc = np.concatenate([np.asarray(a) for a, _, _ in self._chunks])
+        gyro = np.concatenate([np.asarray(g) for _, g, _ in self._chunks])
+        dts = np.concatenate([np.asarray(d) for _, _, d in self._chunks])
+        # compact valid rows first, pad/truncate to the fixed capacity
+        sel = dts > 0
+        acc, gyro, dts = acc[sel], gyro[sel], dts[sel]
+        cap = self.seg_capacity
+        if len(dts) > cap:
+            # decimate pairs: sum dts, average measurements (keeps total time)
+            n2 = (len(dts) // 2) * 2
+            acc = 0.5 * (acc[:n2:2] + acc[1:n2:2])
+            gyro = 0.5 * (gyro[:n2:2] + gyro[1:n2:2])
+            dts = dts[:n2:2] + dts[1:n2:2]
+        pad = cap - len(dts)
+        acc = np.pad(acc, ((0, pad), (0, 0)))
+        gyro = np.pad(gyro, ((0, pad), (0, 0)))
+        dts = np.pad(dts, (0, pad))
+        return (jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
+                jnp.asarray(dts, jnp.float32))
 
     # -- per-frame ---------------------------------------------------------
 
@@ -72,8 +112,7 @@ class InertialTracker:
         """Preintegration for the gap (last frame, this frame]."""
         p = pre.preintegrate(jnp.asarray(acc), jnp.asarray(gyro),
                              jnp.asarray(dts), self.bias, self.calib)
-        self.pending = p if self.pending is None else pre.merge_previous(
-            self.pending, p, self.calib)
+        self._chunks.append((acc, gyro, dts))
         return p
 
     def predict(self, p_frame: pre.Preintegrated):
@@ -97,6 +136,15 @@ class InertialTracker:
 
     def cam_from_body(self, s: VI.BodyState):
         return VI.cam_pose_from_body(s, self.r_cb, self.t_cb)
+
+    def merge_segments(self, a: pre.Preintegrated, b: pre.Preintegrated):
+        """MergePrevious with fixed output capacity (decimating compaction)."""
+        saved = self._chunks
+        self._chunks = [(a.meas_acc, a.meas_gyro, a.meas_dt),
+                        (b.meas_acc, b.meas_gyro, b.meas_dt)]
+        acc, gyro, dts = self._stack_chunks()
+        self._chunks = saved
+        return pre.preintegrate(acc, gyro, dts, b.bias, self.calib)
 
     # -- keyframe hooks ----------------------------------------------------
 

@@ -203,6 +203,42 @@ def cull_step(ms: M.MapState) -> M.MapState:
     return M.cull_map_points(ms)
 
 
+@partial(jax.jit, static_argnames=("redundancy", "min_obs_level"))
+def keyframe_culling(ms: M.MapState, center_kf, protect_recent: float = 1.0,
+                     redundancy: float = 0.9, min_obs_level: int = 3):
+    """LocalMapping::KeyFrameCulling (/root/reference/src/LocalMapping.cc:1302):
+    a local KF is redundant if >= 90% of its map points are observed by at
+    least 3 other KFs; the newest KFs (within `protect_recent` seconds of the
+    center, the reference's inertial 3s guard) are protected.
+
+    Returns (ms, culled_slot or -1). Culls at most one KF per call (as the
+    reference effectively does per loop iteration)."""
+    inc = M.observation_incidence(ms)                 # [K, M]
+    n_obs = jnp.sum(inc, axis=0)                      # [M]
+    # per KF: fraction of its points with >= min_obs_level total observations
+    own = inc > 0
+    redundant_pts = own & (n_obs[None, :] >= min_obs_level)
+    n_own = jnp.maximum(jnp.sum(own, axis=1), 1)
+    frac = jnp.sum(redundant_pts, axis=1) / n_own
+    protected = (ms.kf_time >= ms.kf_time[center_kf] - protect_recent)
+    is_first = ms.kf_prev < 0                          # keep map origins
+    cand = (ms.kf_valid & ~protected & ~is_first
+            & (ms.kf_map_id == ms.active_map) & (frac > redundancy)
+            & (jnp.sum(own, axis=1) > 20))
+    best = jnp.argmax(jnp.where(cand, frac, -1.0))
+    do_cull = cand[best]
+
+    def cull(ms):
+        # repair the temporal chain: successors of `best` point to its prev
+        prev_of_best = ms.kf_prev[best]
+        new_prev = jnp.where(ms.kf_prev == best, prev_of_best, ms.kf_prev)
+        ms = ms._replace(kf_prev=new_prev)
+        return M.erase_keyframe(ms, best)
+
+    ms = jax.lax.cond(do_cull, cull, lambda m: m, ms)
+    return ms, jnp.where(do_cull, best, -1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
     """SearchInNeighbors essence: map points of the center KF that project

@@ -589,8 +589,32 @@ class SlamSystem:
             if self.imu is not None and self.imu.initialized and self.imu.body is not None:
                 self.imu.body = self.imu.body_from_cam(
                     self.cur_rot, self.cur_t, v=self.imu.body.v)
+        with self.timers.time("MP_creation"):
+            # SearchInNeighbors: fuse duplicate landmarks around the new KF
+            self.ms = LM.fuse_duplicates(self.ms, jnp.int32(kf_slot), self.mcfg)
         with self.timers.time("MP_culling"):
             self.ms = LM.cull_step(self.ms)
+        with self.timers.time("KF_culling"):
+            self.ms, culled = LM.keyframe_culling(self.ms, jnp.int32(kf_slot))
+            culled_i = int(culled)
+            if culled_i >= 0:
+                if self.loop_closer is not None:
+                    from geoflowslam_tpu.retrieval import kf_database as DBD
+                    self.loop_closer.db = DBD.erase_keyframe(
+                        self.loop_closer.db, culled_i)
+                if self.imu is not None and culled_i in self.imu.kf_preints:
+                    # merge the culled KF's segment into its successor
+                    order = self.imu.kf_order
+                    if culled_i in order:
+                        pos = order.index(culled_i)
+                        if pos + 1 < len(order):
+                            nxt = order[pos + 1]
+                            if nxt in self.imu.kf_preints:
+                                self.imu.kf_preints[nxt] = self.imu.merge_segments(
+                                    self.imu.kf_preints[culled_i],
+                                    self.imu.kf_preints[nxt])
+                        order.remove(culled_i)
+                        self.imu.kf_preints.pop(culled_i, None)
         if self.cfg.use_lidar and self.lidar_map is not None:
             from geoflowslam_tpu.pipeline import lidar_mapping as LD
             oldest = max(int(kf_slot) - self._lidar_cfg.window_kfs, 0)
