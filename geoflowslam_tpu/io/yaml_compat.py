@@ -134,6 +134,8 @@ def system_config_from_yaml(path: str, sensor: Optional[str] = None,
         use_icp=bool(get("UseICP", 0)),
         icp_method="ndt" if str(get("ICPMethod", "GICP")).upper() == "NDT" else "gicp",
         use_odom=bool(get("UseRobotOdom", 0)),
+        use_lidar=bool(get("UsePointCloudObs", 0)),
+        use_gms_init=bool(get("UseGMSInit", 0)),
         time_recently_lost=float(get("TimeRecentlyLost", 5.0)),
     )
     if overrides:

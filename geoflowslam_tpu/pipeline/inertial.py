@@ -64,6 +64,9 @@ class InertialTracker:
         # per-KF-slot preintegration since the previous KF
         self.kf_preints: Dict[int, pre.Preintegrated] = {}
         self.kf_order: List[int] = []                  # insertion order
+        self.init_time: Optional[float] = None         # mTinit analogue
+        self.viba1_done = False                        # staged refinement
+        self.viba2_done = False
         self.seg_capacity = 512                        # padded KF-segment size
         self._chunks: List[tuple] = []                 # raw samples since last KF
 

@@ -102,11 +102,11 @@ def two_view_reconstruct(key, uv1, uv2, valid, fx, fy, cx, cy,
 
 
 def try_monocular_init(key, frame1: FrameData, frame2: FrameData,
-                       fx, fy, cx, cy, min_matches: int = 100):
-    """Match frame1<->frame2 and attempt reconstruction.
-
-    (SearchForInitialization + Reconstruct; GMS variant available upstream.)
-    """
+                       fx, fy, cx, cy, min_matches: int = 100,
+                       use_gms: bool = False):
+    """Match frame1<->frame2 and attempt reconstruction
+    (SearchForInitialization[WithGMS] + Reconstruct; `use_gms` enables the
+    grid-motion-statistics verification pass, the UseGMSInit config key)."""
     f1, f2 = frame1.feat, frame2.feat
     m_idx, m_dist = matching.match_descriptors(
         f1.desc, f1.valid, f2.desc, f2.valid,
@@ -115,6 +115,10 @@ def try_monocular_init(key, frame1: FrameData, frame2: FrameData,
     uv2 = f2.uv[jnp.maximum(m_idx, 0)]
     near = jnp.linalg.norm(uv2 - f1.uv, axis=1) < 100.0
     m_idx = jnp.where(near, m_idx, -1)
+    if use_gms:
+        from geoflowslam_tpu.ops.gms import gms_filter
+        size = (int(2 * cx), int(2 * cy))
+        m_idx = gms_filter(f1.uv, f2.uv, m_idx, size, size)
     valid = m_idx >= 0
     n_matches = jnp.sum(valid)
 

@@ -71,6 +71,7 @@ class SystemConfig:
     icp_min_inliers: int = 200          # inlier gate (src/Tracking.cc:3394)
     use_odom: bool = False              # UseRobotOdom (legged odometry)
     use_lidar: bool = False             # UsePointCloudObs (point-to-plane)
+    use_gms_init: bool = False          # UseGMSInit (GMS verification)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -228,7 +229,8 @@ class SlamSystem:
         f1, t1 = self._pending_init_frame
         self._init_key, k = jax.random.split(self._init_key)
         init = MI.try_monocular_init(k, f1, frame, self.cfg.fx, self.cfg.fy,
-                                     self.cfg.cx, self.cfg.cy)
+                                     self.cfg.cx, self.cfg.cy,
+                                     use_gms=self.cfg.use_gms_init)
         if not bool(init.ok):
             # reference resets the initializer if too old; keep latest frame
             if timestamp - t1 > 1.0:
@@ -536,8 +538,10 @@ class SlamSystem:
         if self.imu is not None:
             self.imu.on_keyframe(int(kf_slot))
             if not self.imu.initialized:
-                self.ms, did = self.imu.try_initialize(self.ms)
+                self.ms, did = self.imu.try_initialize(
+                    self.ms, scale_free=(self.cfg.sensor == "mono"))
                 if did:
+                    self.imu.init_time = timestamp
                     # map was re-rotated/scaled: refresh pose + body state
                     self.cur_rot = self.ms.kf_rot[kf_slot]
                     self.cur_t = self.ms.kf_t[kf_slot]
@@ -563,8 +567,19 @@ class SlamSystem:
             ran_vi = False
             if (self.imu is not None and self.imu.initialized
                     and len(self.imu.kf_order) >= 4):
-                # LocalInertialBA over the temporal window
+                # staged refinement: VIBA1 at +5s, VIBA2 at +10s after IMU
+                # init run a WIDER window (FullInertialBA essence,
+                # LocalMapping.cc:327-368); otherwise LocalInertialBA window
                 kw = min(8, len(self.imu.kf_order))
+                it = self.imu.init_time
+                if it is not None and not self.imu.viba1_done \
+                        and timestamp - it > 5.0:
+                    kw = min(16, len(self.imu.kf_order))
+                    self.imu.viba1_done = True
+                elif it is not None and not self.imu.viba2_done \
+                        and timestamp - it > 10.0:
+                    kw = min(16, len(self.imu.kf_order))
+                    self.imu.viba2_done = True
                 slots = self.imu.kf_order[-kw:]
                 if all(s in self.imu.kf_preints for s in slots[1:]):
                     segs = self.imu.build_segments(slots)

@@ -101,6 +101,65 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
                       weights=jnp.asarray(idf, jnp.float32), k=k, levels=levels)
 
 
+def load_dbow2_text(path: str, max_levels: int | None = None) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the reference's ORBvoc.txt format:
+    header `k L scoring weighting`, then one node per line
+    `parent is_leaf d0..d31 weight`, TemplatedVocabulary::loadFromTextFile).
+
+    The DBoW2 tree can be incomplete; missing children are padded with their
+    parent's centre (they then never win an argmin over real siblings except
+    on ties, preserving descent behaviour). Note: ORBvoc.txt was trained on
+    OpenCV-pattern ORB descriptors — use it only with descriptor sources
+    matching that pattern; vocabularies for this framework's generated BRIEF
+    pattern come from `build_vocabulary`.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, levels = int(header[0]), int(header[1])
+        if max_levels is not None:
+            levels = min(levels, max_levels)
+        children = {}      # parent id -> child node ids
+        rows = []
+        for i, line in enumerate(f):
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            node_id = i + 1            # ids are implicit; 0 is the root
+            parent = int(parts[0])
+            desc = np.frombuffer(
+                bytes(int(x) for x in parts[2:34]), dtype=np.uint32).copy()
+            rows.append((node_id, parent, desc))
+            children.setdefault(parent, []).append(node_id)
+
+    id2desc = {nid: d for nid, _, d in rows}
+    # build padded complete tree level by level (BFS from root id -1's kids)
+    level_centers = []
+    # DBoW2 roots: children of node 0? In the text format the first k nodes
+    # have parent 0; node ids are implicit order. Treat parent==0 nodes as
+    # level-1.
+    frontier = [nid for nid, par, _ in rows if par == 0][:k]
+    slot_nodes = frontier + [None] * (k - len(frontier))
+    for lvl in range(levels):
+        centers = np.zeros((k ** (lvl + 1), 8), np.uint32)
+        next_nodes = []
+        for si, nid in enumerate(slot_nodes):
+            if nid is not None and nid in id2desc:
+                centers[si] = id2desc[nid]
+            elif si > 0:
+                centers[si] = centers[(si // k) * k]  # pad with first sibling
+            kids = children.get(nid, []) if nid is not None else []
+            kids = kids[:k] + [None] * (k - min(len(kids), k))
+            # missing children inherit the parent node id for padding lookups
+            kids = [c if c is not None else nid for c in kids]
+            next_nodes.extend(kids)
+        level_centers.append(jnp.asarray(centers))
+        slot_nodes = next_nodes
+    v = k ** levels
+    weights = jnp.ones((v,), jnp.float32)
+    return Vocabulary(centers=tuple(level_centers), weights=weights,
+                      k=k, levels=levels)
+
+
 def descend(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
     """[N,8]u32 -> word ids [N] int32 (batched tree descent)."""
     n = desc.shape[0]

@@ -122,3 +122,32 @@ class TestPoseGraph:
         s, r, t = lie.sim3_exp(xi)
         xi2 = PG._sim3_log(s, r, t)
         np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-4)
+
+
+def test_dbow2_text_loader(tmp_path):
+    """Round-trip a tiny synthetic DBoW2-format vocabulary (k=2, L=2)."""
+    # hierarchical structure: branch 1 = low-bit-weight descriptors, branch 2
+    # = high-weight, so greedy descent is unambiguous
+    lines = ["2 2 0 0"]
+    descs = {
+        1: np.zeros(32, np.uint8),
+        2: np.full(32, 255, np.uint8),
+        3: np.r_[np.array([1], np.uint8), np.zeros(31, np.uint8)],
+        4: np.r_[np.array([0, 3], np.uint8), np.zeros(30, np.uint8)],
+        5: np.r_[np.array([254], np.uint8), np.full(31, 255, np.uint8)],
+        6: np.r_[np.array([255, 252], np.uint8), np.full(30, 255, np.uint8)],
+    }
+    for nid, parent, leaf in [(1, 0, 0), (2, 0, 0), (3, 1, 1), (4, 1, 1),
+                              (5, 2, 1), (6, 2, 1)]:
+        d = descs[nid]
+        lines.append(f"{parent} {leaf} " + " ".join(map(str, d)) + " 0.5")
+    p = str(tmp_path / "voc.txt")
+    open(p, "w").write("\n".join(lines) + "\n")
+
+    voc = V.load_dbow2_text(p)
+    assert voc.k == 2 and voc.levels == 2 and voc.n_words == 4
+    # descending each leaf's own descriptor must land on that leaf's word
+    for nid, word in [(3, 0), (4, 1), (5, 2), (6, 3)]:
+        leaf_desc = np.frombuffer(descs[nid].tobytes(), np.uint32)
+        w = V.descend(voc, jnp.asarray(leaf_desc)[None], jnp.ones(1, bool))
+        assert int(w[0]) == word, (nid, int(w[0]))
