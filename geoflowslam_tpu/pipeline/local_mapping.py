@@ -247,10 +247,11 @@ def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
     # Project center KF's points into each covisible KF and find keypoints
     # already bound to a different mp with a similar descriptor.
     cov = M.covisibility(ms)
-    row = cov[center_kf] * ms.kf_valid
-    _, nb = jax.lax.top_k(row, 5)
+    row = cov[center_kf] * ms.kf_valid \
+        * (ms.kf_map_id == ms.kf_map_id[center_kf])
+    w_nb, nb = jax.lax.top_k(row, 5)
 
-    def fuse_into(ms, kf):
+    def fuse_into(ms, kf, enabled):
         obs_c = ms.kf_obs_mp[center_kf]
         valid_c = obs_c >= 0
         mp = jnp.maximum(obs_c, 0)
@@ -269,7 +270,7 @@ def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
             ms.kf_uv[kf], ms.kf_level[kf], ms.kf_desc[kf],
             ms.kf_kp_valid[kf], radius, max_dist=matching.TH_LOW)
         other = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
-        dup = (m_idx >= 0) & (other >= 0) & (other != mp)
+        dup = (m_idx >= 0) & (other >= 0) & (other != mp) & enabled
         # merge: replace our mp with theirs everywhere (keep earlier slot id)
         keep = jnp.where(other < mp, other, mp)
         drop = jnp.where(other < mp, mp, other)
@@ -286,7 +287,9 @@ def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
                            mp_valid=ms.mp_valid & ~dead)
 
     for i in range(5):
-        ms = fuse_into(ms, nb[i])
+        # a zero-weight "neighbour" is just top_k filler (possibly a KF from
+        # a dormant Atlas map) — fusing into it would weld maps incorrectly
+        ms = fuse_into(ms, nb[i], w_nb[i] > 0)
     return ms
 
 

@@ -72,6 +72,7 @@ class SystemConfig:
     use_odom: bool = False              # UseRobotOdom (legged odometry)
     use_lidar: bool = False             # UsePointCloudObs (point-to-plane)
     use_gms_init: bool = False          # UseGMSInit (GMS verification)
+    min_kfs_for_new_map: int = 10       # CreateMapInAtlas gate (Tracking.cc:2271)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -659,7 +660,7 @@ class SlamSystem:
         """Atlas recovery: start a new map (Tracking::CreateMapInAtlas)."""
         n_kfs = int(jnp.sum(self.ms.kf_valid
                             & (self.ms.kf_map_id == self.ms.active_map)))
-        if n_kfs >= 10:
+        if n_kfs >= self.cfg.min_kfs_for_new_map:
             self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False

@@ -51,10 +51,11 @@ def detect_candidates(db: KFDatabase, ms: M.MapState, query_vec: jnp.ndarray,
     connected = cov[query_kf] > 0
     mask = (db.valid & ms.kf_valid & ~connected)
     mask = mask.at[query_kf].set(False)
-    # also exclude temporally-adjacent KFs (recent window by timestamp)
+    # exclude temporally-adjacent KFs of the SAME map (dormant Atlas maps are
+    # always eligible — that's the merge path, LoopClosing::MergeLocal)
     dt = jnp.abs(ms.kf_time - ms.kf_time[query_kf])
-    recent = dt < 3.0
-    mask = mask & ~recent
+    same_map = ms.kf_map_id == ms.kf_map_id[query_kf]
+    mask = mask & ~(same_map & (dt < 3.0))
     s = jnp.where(mask, scores, -1.0)
     vals, idx = jax.lax.top_k(s, n_best)
     return idx, vals, vals > 0.0

@@ -35,7 +35,7 @@ def test_atlas_break_and_merge():
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
                        frame=fc, k_max=32, m_max=4096,
                        kf_min_interval=1, kf_max_interval=2,
-                       time_recently_lost=0.25,
+                       time_recently_lost=0.25, min_kfs_for_new_map=6,
                        loop=LoopConfig(min_sim3_inliers=15, min_score=0.02))
     slam = SlamSystem(cfg, vocab=voc)
 
@@ -44,7 +44,7 @@ def test_atlas_break_and_merge():
         t = i / seq.fps
         gray, depth, _ = seq.frame(t)
         slam.track_rgbd(gray, depth, t)
-    assert slam.map_stats()["n_kfs"] >= 10, slam.map_stats()
+    assert slam.map_stats()["n_kfs"] >= 6, slam.map_stats()
 
     # phase B: blank frames -> lost -> new Atlas map
     blank = jnp.full((h, w), 100.0)
