@@ -167,10 +167,10 @@ def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "kw"))
 def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
-               walk_info, cfg: MappingConfig, kw: int):
+               walk_info, cfg: MappingConfig, kw: int, icp=None):
     """LocalInertialBA over a temporal KF window (pipeline glue around
     solvers/inertial_ba.vi_local_ba). kf_slots [KW] oldest-first; segment i
-    connects slots i and i+1."""
+    connects slots i and i+1. `icp`: optional RelPoseFactors (EdgeICP)."""
     from geoflowslam_tpu.solvers import inertial_ba as VIBA
 
     in_win = slot_valid
@@ -180,7 +180,7 @@ def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
     prob = VIBA.VIBAProblem(
         vis=prob_vis,
         kf_vel=ms.kf_vel[kf_slots], kf_bias=ms.kf_bias[kf_slots],
-        segs=segs, r_cb=r_cb, t_cb=t_cb, walk_info=walk_info)
+        segs=segs, r_cb=r_cb, t_cb=t_cb, walk_info=walk_info, icp=icp)
     out, obs_inl = VIBA.vi_local_ba(prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
     ms = writeback_ba(ms, out.vis, obs_inl, kf_slots, in_win, fixed,
                       mp_idx, mp_in, ctx)

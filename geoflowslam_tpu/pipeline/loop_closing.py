@@ -58,7 +58,7 @@ class LoopCloser:
         self.n_merges = 0
         self.key = jax.random.PRNGKey(77)
 
-    def on_keyframe(self, ms: M.MapState, kf_slot: int):
+    def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False):
         """Detect + correct. Returns (ms, loop_found: bool)."""
         kf_slot_i = int(kf_slot)
         desc = ms.kf_desc[kf_slot_i]
@@ -88,7 +88,8 @@ class LoopCloser:
                               s, rot, t)
             self.n_merges += 1
         if self.cfg.run_pose_graph:
-            ms = self._correct_loop(ms, kf_slot_i, best, s, rot, t)
+            ms = self._correct_loop(ms, kf_slot_i, best, s, rot, t,
+                                    yaw_only=inertial)
         self.n_loops += 1
         return ms, True
 
@@ -128,7 +129,8 @@ class LoopCloser:
             return False, None, None, None, 0
         return True, s, rot, t, int(jnp.sum(inl))
 
-    def _correct_loop(self, ms: M.MapState, cur: int, cand: int, s, rot, t):
+    def _correct_loop(self, ms: M.MapState, cur: int, cand: int, s, rot, t,
+                      yaw_only: bool = False):
         """Essential-graph pose-graph optimization with the loop constraint.
 
         Graph: covisibility edges (weight = shared count, >= covis_edge_min)
@@ -195,9 +197,11 @@ class LoopCloser:
             weight=jnp.asarray(ew), valid=jnp.asarray(ev))
 
         fixed = jnp.zeros((k_max,), bool).at[cand].set(True)
+        # inertial maps: 4DoF yaw-only correction (gravity pins roll/pitch,
+        # OptimizeEssentialGraph4DoF)
         s_new, r_new, t_new = PG.optimize_pose_graph(
             base_s, base_rot, base_t, ms.kf_valid, fixed, edges,
-            fix_scale=self.cfg.fix_scale, iters=10)
+            fix_scale=self.cfg.fix_scale, iters=10, yaw_only=yaw_only)
 
         # re-anchor map points through their reference KF correction:
         # X' = S_new^-1 ( S_old (X) ), applied per point via mp_first_kf

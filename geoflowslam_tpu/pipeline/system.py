@@ -137,6 +137,8 @@ class SlamSystem:
             self.global_map = LD.GlobalMap(self._lidar_cfg)
         else:
             self.lidar_map = None
+        self._kf_clouds = {}     # slot -> (cloud, valid) for EdgeICP factors
+        self._kf_icp_rel = {}    # slot -> (rot, t): T_cw[slot] ∘ T_cw[prev]^-1
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
@@ -444,6 +446,36 @@ class SlamSystem:
         ri, ti = lie.se3_inverse(res.rot, res.t)
         return lie.se3_compose(ri, ti, self.cur_rot, self.cur_t)
 
+    def _register_kf_icp(self, slot: int, frame: FrameData, res: T.TrackResult):
+        """Inter-KF GICP for EdgeICP factors (Optimizer.cc:3260-3321: re-run
+        registration between consecutive KFs, gate on 400 inliers)."""
+        from geoflowslam_tpu.ops import gicp as G
+
+        self._kf_clouds[slot] = (frame.cloud, frame.cloud_valid)
+        prev = self.imu.kf_order[-1] if (self.imu is not None
+                                         and self.imu.kf_order) else \
+            getattr(self, "_last_kf_slot", None)
+        self._last_kf_slot = slot
+        if prev is None or prev not in self._kf_clouds or prev == slot:
+            return
+        pc_prev, pv_prev = self._kf_clouds[prev]
+        # init: T_prev<-new from current poses
+        r_new, t_new = res.rot, res.t
+        r_prev, t_prev = self.ms.kf_rot[prev], self.ms.kf_t[prev]
+        ri, ti = lie.se3_inverse(r_new, t_new)
+        r0, t0 = lie.se3_compose(r_prev, t_prev, ri, ti)
+        reg = G.gicp_register(frame.cloud, frame.cloud_valid, pc_prev, pv_prev,
+                              init_rot=r0, init_t=t0)
+        if int(reg.n_inliers) < 400:
+            return
+        # measurement T_rel = T_new<-prev = (T_prev<-new)^-1
+        rr, tr = lie.se3_inverse(reg.rot, reg.t)
+        self._kf_icp_rel[slot] = (rr, tr, prev)
+        # bound memory: keep only recent clouds
+        if len(self._kf_clouds) > 40:
+            oldest = min(self._kf_clouds)
+            self._kf_clouds.pop(oldest, None)
+
     def _lidar_refine(self, frame: FrameData, res: T.TrackResult):
         """Re-run the pose GN with reprojection + point-to-plane terms."""
         from geoflowslam_tpu.pipeline import lidar_mapping as LD
@@ -536,6 +568,8 @@ class SlamSystem:
         self.ref_kf = int(kf_slot)
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
+        if self.cfg.use_icp and bool(frame.cloud_valid.any()):
+            self._register_kf_icp(int(kf_slot), frame, res)
         if self.imu is not None:
             self.imu.on_keyframe(int(kf_slot))
             if not self.imu.initialized:
@@ -584,13 +618,28 @@ class SlamSystem:
                 slots = self.imu.kf_order[-kw:]
                 if all(s in self.imu.kf_preints for s in slots[1:]):
                     segs = self.imu.build_segments(slots)
+                    icp = None
+                    if self.cfg.use_icp and self._kf_icp_rel:
+                        from geoflowslam_tpu.solvers.inertial_ba import RelPoseFactors
+                        rots, ts, infos = [], [], []
+                        for i in range(kw - 1):
+                            rel = self._kf_icp_rel.get(slots[i + 1])
+                            if rel is not None and rel[2] == slots[i]:
+                                rots.append(rel[0]); ts.append(rel[1])
+                                infos.append(1e3)
+                            else:
+                                rots.append(jnp.eye(3)); ts.append(jnp.zeros(3))
+                                infos.append(0.0)
+                        icp = RelPoseFactors(rot=jnp.stack(rots),
+                                             t=jnp.stack(ts),
+                                             info=jnp.asarray(infos))
                     self.ms, _ = LM.vi_ba_step(
                         self.ms, jnp.asarray(slots, jnp.int32),
                         jnp.ones((kw,), bool), segs,
                         self.imu.r_cb, self.imu.t_cb,
                         jnp.linalg.inv(self.imu.calib.cov_walk
                                        + 1e-12 * jnp.eye(6)),
-                        self.mcfg, kw)
+                        self.mcfg, kw, icp=icp)
                     ran_vi = True
             if not ran_vi:
                 self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
@@ -641,7 +690,9 @@ class SlamSystem:
             self.global_map.add(frame.cloud, frame.cloud_valid,
                                 self.ms.kf_rot[kf_slot], self.ms.kf_t[kf_slot])
         if self.loop_closer is not None:
-            self.ms, found = self.loop_closer.on_keyframe(self.ms, int(kf_slot))
+            self.ms, found = self.loop_closer.on_keyframe(
+                self.ms, int(kf_slot),
+                inertial=(self.imu is not None and self.imu.initialized))
             if found:
                 # loop correction moved everything: re-anchor current pose
                 self.cur_rot = self.ms.kf_rot[kf_slot]

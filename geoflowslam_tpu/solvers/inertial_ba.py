@@ -48,6 +48,22 @@ class ImuSegments(NamedTuple):
     valid: jnp.ndarray  # [S]
 
 
+class RelPoseFactors(NamedTuple):
+    """EdgeICP relative-pose factors between consecutive window KFs
+    (include/G2oTypes.h:508-572, added inside LocalInertialBA when the
+    inter-KF GICP passes its 400-inlier gate, Optimizer.cc:3260-3321).
+    Measurement: T_rel = T_cw[i+1] ∘ T_cw[i]^-1 (camera frames)."""
+    rot: jnp.ndarray   # [S,3,3]
+    t: jnp.ndarray     # [S,3]
+    info: jnp.ndarray  # [S] scalar information weight (0 = factor absent)
+
+    @staticmethod
+    def empty(s: int):
+        return RelPoseFactors(
+            rot=jnp.broadcast_to(jnp.eye(3), (s, 3, 3)),
+            t=jnp.zeros((s, 3)), info=jnp.zeros((s,)))
+
+
 class VIBAProblem(NamedTuple):
     vis: BAProblem              # poses Tcw + landmark/observation grid
     kf_vel: jnp.ndarray         # [K,3]
@@ -56,6 +72,7 @@ class VIBAProblem(NamedTuple):
     r_cb: jnp.ndarray           # [3,3] cam-from-body rotation
     t_cb: jnp.ndarray           # [3]
     walk_info: jnp.ndarray      # [6,6] bias random-walk information
+    icp: Optional[RelPoseFactors] = None   # EdgeICP inter-KF factors
 
 
 def _body_from_cam(rot_cw, t_cw, r_cb, t_cb):
@@ -173,34 +190,52 @@ def vi_local_ba(prob: VIBAProblem, fx, fy, cx, cy, bf=0.0,
             e_in = _inertial_residual_seg(rb1, pb1, v1, b1, rb2, pb2, v2, i,
                                           prob.segs)
             e_bw = b2 - b1
-            return e_in, e_bw
+            if prob.icp is not None:
+                # EdgeICP: e = log(T_meas^-1 ∘ T2 ∘ T1^-1) in camera frames
+                ri, ti = lie.se3_inverse(r1, p1)
+                rr, tr = lie.se3_compose(r2c, p2c, ri, ti)
+                mi, mt = lie.se3_inverse(prob.icp.rot[i], prob.icp.t[i])
+                er, et = lie.se3_compose(mi, mt, rr, tr)
+                e_icp = lie.se3_log(er, et)
+            else:
+                e_icp = jnp.zeros(6)
+            return e_in, e_bw, e_icp
 
         z15 = jnp.zeros(15)
         segs_idx = jnp.arange(k - 1)
 
         def one_seg(i):
-            e_in, e_bw = seg_residual(z15, z15, i)
+            e_in, e_bw, e_icp = seg_residual(z15, z15, i)
             j1 = jax.jacfwd(lambda d1: seg_residual(d1, z15, i))(z15)
             j2 = jax.jacfwd(lambda d2: seg_residual(z15, d2, i))(z15)
-            return e_in, e_bw, j1[0], j2[0], j1[1], j2[1]
+            return (e_in, e_bw, e_icp, j1[0], j2[0], j1[1], j2[1],
+                    j1[2], j2[2])
 
-        e_in, e_bw, j1i, j2i, j1b, j2b = jax.vmap(one_seg)(segs_idx)
+        (e_in, e_bw, e_icp, j1i, j2i, j1b, j2b,
+         j1c, j2c) = jax.vmap(one_seg)(segs_idx)
         wseg = prob.segs.valid.astype(jnp.float32)
 
         info9 = prob.segs.info9 * wseg[:, None, None]
         winfo = prob.walk_info[None] * wseg[:, None, None]
+        icp_w = (prob.icp.info * wseg)[:, None, None] * jnp.eye(6)[None] \
+            if prob.icp is not None else jnp.zeros((k - 1, 6, 6))
 
         # accumulate into s/rhs
         h11 = jnp.einsum("sri,srl,slj->sij", j1i, info9, j1i) \
-            + jnp.einsum("sri,srl,slj->sij", j1b, winfo, j1b)
+            + jnp.einsum("sri,srl,slj->sij", j1b, winfo, j1b) \
+            + jnp.einsum("sri,srl,slj->sij", j1c, icp_w, j1c)
         h22 = jnp.einsum("sri,srl,slj->sij", j2i, info9, j2i) \
-            + jnp.einsum("sri,srl,slj->sij", j2b, winfo, j2b)
+            + jnp.einsum("sri,srl,slj->sij", j2b, winfo, j2b) \
+            + jnp.einsum("sri,srl,slj->sij", j2c, icp_w, j2c)
         h12 = jnp.einsum("sri,srl,slj->sij", j1i, info9, j2i) \
-            + jnp.einsum("sri,srl,slj->sij", j1b, winfo, j2b)
+            + jnp.einsum("sri,srl,slj->sij", j1b, winfo, j2b) \
+            + jnp.einsum("sri,srl,slj->sij", j1c, icp_w, j2c)
         g1 = -(jnp.einsum("sri,srl,sl->si", j1i, info9, e_in)
-               + jnp.einsum("sri,srl,sl->si", j1b, winfo, e_bw))
+               + jnp.einsum("sri,srl,sl->si", j1b, winfo, e_bw)
+               + jnp.einsum("sri,srl,sl->si", j1c, icp_w, e_icp))
         g2 = -(jnp.einsum("sri,srl,sl->si", j2i, info9, e_in)
-               + jnp.einsum("sri,srl,sl->si", j2b, winfo, e_bw))
+               + jnp.einsum("sri,srl,sl->si", j2b, winfo, e_bw)
+               + jnp.einsum("sri,srl,sl->si", j2c, icp_w, e_icp))
 
         ii = segs_idx
         s = s.at[ii, :, ii, :].add(h11)

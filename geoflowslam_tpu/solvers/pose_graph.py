@@ -72,12 +72,15 @@ def edge_residual(xi_all, i, j, s_m, rot_m, t_m,
 
 def optimize_pose_graph(base_s, base_rot, base_t, kf_valid, kf_fixed,
                         edges: PoseGraphEdges, fix_scale: bool = True,
-                        iters: int = 15):
+                        iters: int = 15, yaw_only: bool = False):
     """Dense GN over the whole graph. Returns updated (s, rot, t) per KF.
 
     kf_fixed: poses held constant (the loop KF in CorrectLoop).
     fix_scale: True for stereo/RGBD (scale is observable) — Sim3 reduces to
     SE3 exactly as the reference's bFixScale flag does.
+    yaw_only: restrict rotation updates to the gravity (yaw) axis — the
+    reference's OptimizeEssentialGraph4DoF used for inertial maps where
+    roll/pitch are observable from gravity (Optimizer.cc:9252).
     """
     k = base_s.shape[0]
 
@@ -96,6 +99,11 @@ def optimize_pose_graph(base_s, base_rot, base_t, kf_valid, kf_fixed,
     if fix_scale:
         scale_mask = jnp.tile(jnp.arange(7) != 6, (k,))
         free_mask = free_mask * scale_mask
+    if yaw_only:
+        # tangent = [rho(3), phi(3), sigma]: keep phi_z (world yaw; gravity
+        # is -z after IMU alignment), freeze phi_x/phi_y
+        rp_mask = jnp.tile((jnp.arange(7) != 3) & (jnp.arange(7) != 4), (k,))
+        free_mask = free_mask * rp_mask
 
     def body(_, xi_flat):
         r = residuals(xi_flat)                         # [E,7]

@@ -79,3 +79,43 @@ def test_lidar_tracking():
     assert m["ate_rmse"] < 0.05, m
     # global map accumulates
     assert len(slam.global_map.points()) > 500
+
+
+@pytest.mark.slow
+def test_icp_inertial_edgeicp():
+    """The flagship G1 combo: RGB-D + IMU + ICP (EdgeICP factors in VI-BA)."""
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    w, h = 320, 240
+    cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    orb = OrbConfig(n_features=300, n_levels=4, height=h, width=w)
+    fc = FrameConfig(orb=orb, lk_levels=3, cloud_stride=8, cloud_max_pts=1024,
+                     bf=20.0)
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
+                       frame=fc, k_max=24, m_max=4096,
+                       imu=ImuConfig(init_min_kfs=4, init_min_time=0.5),
+                       use_icp=True, icp_min_inliers=100)
+    world = SyntheticWorld(cam)
+    seq = SyntheticSequence(world, fps=10.0)
+    slam = SlamSystem(cfg)
+    gt, last_t = [], 0.0
+    for i in range(35):
+        t = i / seq.fps
+        gray, depth, (rot_cw, t_cw) = seq.frame(t)
+        if i == 0:
+            slam.track_rgbd(gray, depth, t)
+        else:
+            acc, gyro, dts = seq.imu_between(last_t, t, 32)
+            slam.track_rgbd_inertial(gray, depth, acc, gyro, dts, t)
+        last_t = t
+        twc = np.eye(4)
+        rwc = np.asarray(rot_cw).T
+        twc[:3, :3] = rwc
+        twc[:3, 3] = -rwc @ np.asarray(t_cw)
+        gt.append((t, twc))
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    assert slam.imu.initialized
+    assert len(slam._kf_icp_rel) >= 1  # EdgeICP factors were generated
+    tail = len(slam.trajectory) // 2
+    m = ate_rmse(slam.trajectory[-tail:], gt[-tail:])
+    assert m["ate_rmse"] < 0.05, (m, stats)
