@@ -102,12 +102,30 @@ def system_config_from_yaml(path: str, sensor: Optional[str] = None,
         height=height, width=width,
     )
     use_of = bool(get("UseOpticalFlow", 0))
+    cam_type = str(get("Camera.type", get("Camera1.type", "PinHole")))
+    if "KannalaBrandt" in cam_type:
+        camera_model = "kb8"
+        dist = tuple(float(get(f"Camera1.k{i}", get(f"Camera.k{i}", 0.0)))
+                     for i in (1, 2, 3, 4))
+    else:
+        camera_model = "pinhole"
+        k1 = float(get("Camera1.k1", get("Camera.k1", 0.0)))
+        if k1 != 0.0:
+            dist = (k1,
+                    float(get("Camera1.k2", get("Camera.k2", 0.0))),
+                    float(get("Camera1.p1", get("Camera.p1", 0.0))),
+                    float(get("Camera1.p2", get("Camera.p2", 0.0))),
+                    float(get("Camera1.k3", get("Camera.k3", 0.0))))
+        else:
+            dist = ()
     frame = FrameConfig(
         orb=orb,
         use_clahe=bool(get("UseClahe", 0)),
         bf=bf,
         depth_map_factor=1.0 / depth_factor if depth_factor > 1.0 else 1.0,
         n_of_slots=256 if use_of else 0,
+        camera_model=camera_model,
+        dist_params=dist,
     )
 
     imu_cfg = None

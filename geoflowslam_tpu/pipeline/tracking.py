@@ -256,7 +256,7 @@ def create_keyframe(ms: M.MapState, frame: FrameData, rot, t, time,
     # cap the number of new points: keep closest ones first (reference sorts
     # by depth and caps at 100 far ones; we cap total)
     order_key = jnp.where(make, frame.depth_kp, jnp.inf)
-    _, order = jax.lax.top_k(-order_key, cfg.max_new_mp_per_kf)
+    _, order = jax.lax.top_k(-order_key, min(cfg.max_new_mp_per_kf, feat.capacity))
     sel_mask = jnp.zeros((feat.capacity,), bool).at[order].set(True)
     make = make & sel_mask
 

@@ -39,6 +39,12 @@ class FrameConfig:
     # reserved padded keypoint slots for the optical-flow tracker's
     # appended points (Frame::AddPts analogue); 0 disables
     n_of_slots: int = 0
+    # camera model for keypoint undistortion (Frame::UndistortKeyPoints):
+    # "pinhole" (optionally with radtan dist_params [k1,k2,p1,p2,(k3)]) or
+    # "kb8" (dist_params = [k0..k3] theta-polynomial). Downstream geometry
+    # always sees ideal-pinhole keypoints, exactly like the reference.
+    camera_model: str = "pinhole"
+    dist_params: tuple = ()
 
 
 class FrameData(NamedTuple):
@@ -57,9 +63,26 @@ def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
     feat = extract(img, cfg.orb)
     n = feat.capacity
 
+    raw_uv = feat.uv  # distorted pixel coords (for depth/image lookups)
+    if cfg.camera_model == "kb8" and cfg.dist_params:
+        from geoflowslam_tpu.math import cameras as CAM
+        params = jnp.asarray([fx, fy, cx, cy, *cfg.dist_params], jnp.float32)
+        rays = CAM.kb8_unproject(params, feat.uv)
+        u = fx * rays[:, 0] / rays[:, 2] + cx
+        v = fy * rays[:, 1] / rays[:, 2] + cy
+        feat = feat._replace(uv=jnp.stack([u, v], axis=1))
+    elif cfg.dist_params:
+        from geoflowslam_tpu.math import cameras as CAM
+        dist = jnp.asarray(cfg.dist_params, jnp.float32)
+        xy = (feat.uv - jnp.asarray([cx, cy])) / jnp.asarray([fx, fy])
+        xyu = CAM.radtan_undistort(dist, xy)
+        feat = feat._replace(
+            uv=xyu * jnp.asarray([fx, fy]) + jnp.asarray([cx, cy]))
+
     if depth is not None:
-        xi = jnp.clip(jnp.round(feat.uv[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
-        yi = jnp.clip(jnp.round(feat.uv[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
+        # depth is sampled at the RAW (distorted) pixel position
+        xi = jnp.clip(jnp.round(raw_uv[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
+        yi = jnp.clip(jnp.round(raw_uv[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
         d = depth[yi, xi] * cfg.depth_map_factor
         d = jnp.where((d > 0) & (d < cfg.max_depth) & feat.valid, d, -1.0)
         ur = jnp.where(d > 0, feat.uv[:, 0] - cfg.bf / jnp.maximum(d, 1e-6), -1.0)

@@ -1,0 +1,23 @@
+"""Verbosity-levelled logging (Verbose, /root/reference/include/System.h:49-67)."""
+from __future__ import annotations
+
+import sys
+
+
+class Verbose:
+    QUIET = 0
+    NORMAL = 1
+    VERBOSE = 2
+    VERY_VERBOSE = 3
+    DEBUG = 4
+
+    level = QUIET
+
+    @classmethod
+    def set_level(cls, level: int):
+        cls.level = level
+
+    @classmethod
+    def print(cls, msg: str, level: int = 1):
+        if level <= cls.level:
+            print(msg, file=sys.stderr, flush=True)

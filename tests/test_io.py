@@ -110,3 +110,60 @@ def test_native_loader(tmp_path):
         seen.append(idx)
     assert seen == list(range(6))  # strict ordering
     loader.close()
+
+
+def test_async_api():
+    from geoflowslam_tpu.pipeline.async_api import AsyncSlam
+    from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
+    from geoflowslam_tpu.state.frame import FrameConfig
+    from geoflowslam_tpu.ops.extractor import OrbConfig
+    from geoflowslam_tpu.io.synthetic import SyntheticWorld, SyntheticSequence, Camera
+
+    w, h = 320, 240
+    cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    orb = OrbConfig(n_features=200, n_levels=3, height=h, width=w)
+    fc = FrameConfig(orb=orb, lk_levels=2, cloud_stride=8, cloud_max_pts=512,
+                     bf=20.0)
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
+                       frame=fc, k_max=8, m_max=1024)
+    world = SyntheticWorld(cam)
+    seq = SyntheticSequence(world, fps=10.0)
+    aslam = AsyncSlam(SlamSystem(cfg))
+    futs = []
+    for i in range(5):
+        t = i / seq.fps
+        gray, depth, _ = seq.frame(t)
+        futs.append(aslam.track_rgbd_async(np.asarray(gray), np.asarray(depth), t))
+    poses = [f.result(timeout=300) for f in futs]
+    assert all(p.shape == (4, 4) for p in poses)
+    aslam.shutdown()
+
+
+def test_undistortion_frame_build():
+    import jax.numpy as jnp
+    from geoflowslam_tpu.state.frame import FrameConfig, build_frame
+    from geoflowslam_tpu.ops.extractor import OrbConfig
+    from geoflowslam_tpu.io.synthetic import SyntheticWorld, Camera
+
+    w, h = 256, 192
+    cam = Camera(fx=150.0, fy=150.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    world = SyntheticWorld(cam)
+    import jax
+    gray, depth = jax.jit(world.render)(jnp.eye(3), jnp.zeros(3))
+    orb = OrbConfig(n_features=100, n_levels=3, height=h, width=w)
+    # mild radtan distortion: undistorted uv should differ but stay in-image
+    fc = FrameConfig(orb=orb, lk_levels=2, cloud_stride=8, cloud_max_pts=256,
+                     dist_params=(-0.1, 0.01, 0.0, 0.0, 0.0))
+    fr = build_frame(gray, depth, fc, cam.fx, cam.fy, cam.cx, cam.cy)
+    fc0 = FrameConfig(orb=orb, lk_levels=2, cloud_stride=8, cloud_max_pts=256)
+    fr0 = build_frame(gray, depth, fc0, cam.fx, cam.fy, cam.cx, cam.cy)
+    d = np.abs(np.asarray(fr.feat.uv) - np.asarray(fr0.feat.uv))
+    sel = np.asarray(fr.feat.valid)
+    assert d[sel].max() > 0.5          # undistortion moved the points
+    assert d[sel].max() < 20.0         # ...but sanely
+    # kb8 path compiles and runs
+    fck = FrameConfig(orb=orb, lk_levels=2, cloud_stride=8, cloud_max_pts=256,
+                      camera_model="kb8",
+                      dist_params=(0.003, 0.0007, -0.002, 0.0002))
+    frk = build_frame(gray, depth, fck, cam.fx, cam.fy, cam.cx, cam.cy)
+    assert bool(jnp.isfinite(frk.feat.uv).all())
