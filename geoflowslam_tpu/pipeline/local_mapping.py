@@ -165,6 +165,27 @@ def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
     return ms, jnp.sum(prob.obs_valid).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "ba_pts"))
+def global_ba_step(ms: M.MapState, cfg: MappingConfig, ba_pts: int = 4096):
+    """GlobalBundleAdjustemnt (/root/reference/src/Optimizer.cc:47): all KFs
+    of the active map, origin KF fixed; reuses the dense Schur machinery with
+    the full KF slot range as the window."""
+    kf_idx = jnp.arange(ms.k_max, dtype=jnp.int32)
+    in_win = ms.kf_valid & (ms.kf_map_id == ms.active_map)
+    # fix the two oldest (gauge, incl. monocular scale)
+    times = jnp.where(in_win, ms.kf_time, jnp.inf)
+    o1 = jnp.argmin(times)
+    o2 = jnp.argmin(times.at[o1].set(jnp.inf))
+    fixed = jnp.zeros((ms.k_max,), bool).at[o1].set(True).at[o2].set(True)
+    big_cfg = dataclasses.replace(cfg, ba_max_pts=ba_pts)
+    prob, mp_idx, mp_in, ctx = extract_ba_problem(ms, kf_idx, in_win, fixed,
+                                                  big_cfg)
+    out, obs_inl = local_ba.local_bundle_adjustment(
+        prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, iters1=5, iters2=10)
+    ms = writeback_ba(ms, out, obs_inl, kf_idx, in_win, fixed, mp_idx, mp_in, ctx)
+    return ms
+
+
 @partial(jax.jit, static_argnames=("cfg", "kw"))
 def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
                walk_info, cfg: MappingConfig, kw: int, icp=None):

@@ -45,18 +45,24 @@ class LoopConfig:
     covis_edge_min: int = 30       # essential-graph edge threshold
     max_edges: int = 512
     run_pose_graph: bool = True
+    run_global_ba: bool = False    # RunGlobalBundleAdjustment after loops
 
 
 class LoopCloser:
     """Host-side loop-closing stage (one call per new KF)."""
 
-    def __init__(self, vocab: V.Vocabulary, k_max: int, cfg: LoopConfig = LoopConfig()):
+    def __init__(self, vocab: V.Vocabulary, k_max: int,
+                 cfg: LoopConfig = LoopConfig(), map_cfg=None):
         self.vocab = vocab
         self.cfg = cfg
         self.db = DB.KFDatabase.create(k_max, vocab.n_words)
         self.n_loops = 0
         self.n_merges = 0
         self.key = jax.random.PRNGKey(77)
+        if map_cfg is None:
+            from geoflowslam_tpu.pipeline.local_mapping import MappingConfig
+            map_cfg = MappingConfig()
+        self._map_cfg = map_cfg
 
     def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False):
         """Detect + correct. Returns (ms, loop_found: bool)."""
@@ -90,6 +96,13 @@ class LoopCloser:
         if self.cfg.run_pose_graph:
             ms = self._correct_loop(ms, kf_slot_i, best, s, rot, t,
                                     yaw_only=inertial)
+        if self.cfg.run_global_ba:
+            # RunGlobalBundleAdjustment (LoopClosing.cc:2360): full-map BA
+            # after the pose-graph correction (synchronous jitted step here
+            # instead of a detached thread).
+            from geoflowslam_tpu.pipeline.local_mapping import (
+                global_ba_step, MappingConfig)
+            ms = global_ba_step(ms, self._map_cfg)
         self.n_loops += 1
         return ms, True
 

@@ -118,7 +118,7 @@ class SlamSystem:
         self._p_frame = None  # preintegration of the current frame gap
         self.vocab = vocab
         self.loop_closer = (
-            LoopCloser(vocab, cfg.k_max, cfg.loop)
+            LoopCloser(vocab, cfg.k_max, cfg.loop, map_cfg=self.mcfg)
             if (vocab is not None and cfg.loop is not None) else None)
 
         self._build_frame = jax.jit(

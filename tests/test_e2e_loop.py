@@ -36,7 +36,8 @@ def test_atlas_break_and_merge():
                        frame=fc, k_max=32, m_max=4096,
                        kf_min_interval=1, kf_max_interval=2,
                        time_recently_lost=0.25, min_kfs_for_new_map=6,
-                       loop=LoopConfig(min_sim3_inliers=15, min_score=0.02))
+                       loop=LoopConfig(min_sim3_inliers=15, min_score=0.02,
+                                       run_global_ba=True))
     slam = SlamSystem(cfg, vocab=voc)
 
     # phase A: build a map with >= 10 KFs
