@@ -75,3 +75,42 @@ def test_stereo_tracking_ate():
     assert stats["state"] == "OK", stats
     m = ate_rmse(slam.trajectory, gt)
     assert m["ate_rmse"] < 0.06, (m, stats)
+
+
+@pytest.mark.slow
+def test_stereo_inertial_tracking():
+    """Stereo-Inertial (EuRoC configs[2] essence) on the synthetic room."""
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    w, h = 320, 240
+    cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    orb = OrbConfig(n_features=300, n_levels=4, height=h, width=w)
+    bf = cam.fx * BASELINE
+    fc = FrameConfig(orb=orb, lk_levels=3, cloud_stride=8, cloud_max_pts=1024,
+                     bf=bf)
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=bf,
+                       frame=fc, k_max=24, m_max=4096,
+                       imu=ImuConfig(init_min_kfs=4, init_min_time=0.5))
+    world = SyntheticWorld(cam)
+    seq = SyntheticSequence(world, fps=10.0)
+    slam = SlamSystem(cfg)
+    gt, last_t = [], 0.0
+    for i in range(35):
+        t = i / seq.fps
+        gl, gr, _, (rot_cw, t_cw) = render_stereo(seq, world, t)
+        if i == 0:
+            slam.track_stereo(gl, gr, t)
+        else:
+            acc, gyro, dts = seq.imu_between(last_t, t, 32)
+            slam.track_stereo_inertial(gl, gr, acc, gyro, dts, t)
+        last_t = t
+        twc = np.eye(4)
+        rwc = np.asarray(rot_cw).T
+        twc[:3, :3] = rwc
+        twc[:3, 3] = -rwc @ np.asarray(t_cw)
+        gt.append((t, twc))
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    assert slam.imu.initialized
+    tail = len(slam.trajectory) // 2
+    m = ate_rmse(slam.trajectory[-tail:], gt[-tail:])
+    assert m["ate_rmse"] < 0.06, (m, stats)

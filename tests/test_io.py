@@ -167,3 +167,27 @@ def test_undistortion_frame_build():
                       dist_params=(0.003, 0.0007, -0.002, 0.0002))
     frk = build_frame(gray, depth, fck, cam.fx, cam.fy, cam.cx, cam.cy)
     assert bool(jnp.isfinite(frk.feat.uv).all())
+
+
+def test_viewer_smoke(tmp_path):
+    import jax, jax.numpy as jnp
+    from geoflowslam_tpu.viewer.viewer import Viewer
+    from geoflowslam_tpu.state import map_state as M
+
+    ms = M.create(4, 32, 128)
+    ms = M.insert_keyframe(
+        ms, jnp.int32(0), jnp.eye(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros(6),
+        jnp.float32(0.0), jnp.ones((32, 2)) * 50, jnp.zeros(32, jnp.int32),
+        jnp.zeros(32), jnp.ones((32, 8), jnp.uint32), jnp.full((32,), 2.0),
+        jnp.ones(32, bool), jnp.arange(32, dtype=jnp.int32), jnp.int32(-1))
+    ms = M.add_map_points(ms, jnp.arange(32, dtype=jnp.int32),
+                          jax.random.normal(jax.random.PRNGKey(0), (32, 3)),
+                          jnp.ones((32, 8), jnp.uint32), jnp.zeros((32, 3)),
+                          jnp.zeros(32), jnp.ones(32), jnp.int32(0),
+                          jnp.ones(32, bool))
+    v = Viewer(str(tmp_path))
+    p1 = v.draw_map(ms, cur_rot=jnp.eye(3), cur_t=jnp.zeros(3))
+    img = jnp.zeros((96, 128))
+    p2 = v.draw_frame(img, jnp.ones((32, 2)) * 40, jnp.ones(32, bool),
+                      jnp.arange(32) - 16)
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
