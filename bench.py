@@ -67,6 +67,14 @@ def main():
     print(f"compile(track): {time.time()-t0:.1f}s, inliers {int(r2.n_inliers)}",
           file=sys.stderr)
 
+    # Fused single-dispatch per-frame step (production low-latency path).
+    t0 = time.time()
+    f3, r3, ms3 = T.fused_track_step(gray1, depth1, ms, res.obs_mp, res.rot,
+                                     res.t, jnp.int32(kf_slot), tcfg, fc)
+    jax.block_until_ready(r3.t)
+    print(f"compile(fused): {time.time()-t0:.1f}s, inliers {int(r3.n_inliers)}",
+          file=sys.stderr)
+
     # Timed loop: full per-frame device work, N iterations.
     n = 50
     grays = [gray0, gray1]
@@ -75,10 +83,8 @@ def main():
     for i in range(n):
         g = grays[i % 2]
         d = depths[i % 2]
-        f = bf_fn(g, d)
-        r1 = T.track_with_motion_model(ms, f, res.obs_mp, res.rot, res.t, tcfg)
-        _, r2 = T.track_local_map(ms, f, r1.obs_mp, r1.rot, r1.t,
-                                  jnp.int32(kf_slot), tcfg)
+        _, r2, _ = T.fused_track_step(g, d, ms, res.obs_mp, res.rot, res.t,
+                                      jnp.int32(kf_slot), tcfg, fc)
     jax.block_until_ready(r2.t)
     dt = time.time() - t0
     fps = n / dt

@@ -186,6 +186,44 @@ def global_ba_step(ms: M.MapState, cfg: MappingConfig, ba_pts: int = 4096):
     return ms
 
 
+def global_ba_step_distributed(ms: M.MapState, cfg: MappingConfig, mesh,
+                               ba_pts: int = 4096, iters: int = 10):
+    """Global BA over a jax.sharding.Mesh: landmarks sharded across the
+    `land` axis (parallel/dist_ba.py), the reference's background-thread GBA
+    re-expressed as multi-chip SPMD. ba_pts must divide the mesh size."""
+    from geoflowslam_tpu.parallel import dist_ba
+
+    kf_idx = jnp.arange(ms.k_max, dtype=jnp.int32)
+    in_win = ms.kf_valid & (ms.kf_map_id == ms.active_map)
+    times = jnp.where(in_win, ms.kf_time, jnp.inf)
+    o1 = jnp.argmin(times)
+    o2 = jnp.argmin(times.at[o1].set(jnp.inf))
+    fixed = jnp.zeros((ms.k_max,), bool).at[o1].set(True).at[o2].set(True)
+    big_cfg = dataclasses.replace(cfg, ba_max_pts=ba_pts)
+
+    @jax.jit
+    def extract(ms):
+        return extract_ba_problem(ms, kf_idx, in_win, fixed, big_cfg)
+
+    prob, mp_idx, mp_in, ctx = extract(ms)
+    fn = dist_ba.make_distributed_ba(mesh, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                                     cfg.bf, iters=iters)
+    out = fn(prob)
+
+    @jax.jit
+    def wb(ms, out):
+        # recompute inliers on the optimized problem for edge pruning
+        r, _, _, behind = local_ba._residuals(out, cfg.fx, cfg.fy, cfg.cx,
+                                              cfg.cy, cfg.bf)
+        chi2 = local_ba._chi2(r, out)
+        th = jnp.where(out.is_stereo, local_ba.CHI2_STEREO, local_ba.CHI2_MONO)
+        inl = out.obs_valid & (chi2 <= th) & (~behind)
+        return writeback_ba(ms, out, inl, kf_idx, in_win, fixed,
+                            mp_idx, mp_in, ctx)
+
+    return wb(ms, out)
+
+
 @partial(jax.jit, static_argnames=("cfg", "kw"))
 def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
                walk_info, cfg: MappingConfig, kw: int, icp=None):

@@ -46,13 +46,14 @@ class LoopConfig:
     max_edges: int = 512
     run_pose_graph: bool = True
     run_global_ba: bool = False    # RunGlobalBundleAdjustment after loops
+    use_icp_loop: bool = False     # UseICPLoop: GICP-refine the loop Sim3
 
 
 class LoopCloser:
     """Host-side loop-closing stage (one call per new KF)."""
 
     def __init__(self, vocab: V.Vocabulary, k_max: int,
-                 cfg: LoopConfig = LoopConfig(), map_cfg=None):
+                 cfg: LoopConfig = LoopConfig(), map_cfg=None, mesh=None):
         self.vocab = vocab
         self.cfg = cfg
         self.db = DB.KFDatabase.create(k_max, vocab.n_words)
@@ -63,8 +64,10 @@ class LoopCloser:
             from geoflowslam_tpu.pipeline.local_mapping import MappingConfig
             map_cfg = MappingConfig()
         self._map_cfg = map_cfg
+        self.mesh = mesh  # optional jax.sharding.Mesh: distributed global BA
 
-    def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False):
+    def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False,
+                    kf_clouds: Optional[dict] = None):
         """Detect + correct. Returns (ms, loop_found: bool)."""
         kf_slot_i = int(kf_slot)
         desc = ms.kf_desc[kf_slot_i]
@@ -87,6 +90,18 @@ class LoopCloser:
         if not ok:
             return ms, False
 
+        if (self.cfg.use_icp_loop and kf_clouds is not None
+                and kf_slot_i in kf_clouds and best in kf_clouds):
+            # UseICPLoop: refine the loop transform by registering the two
+            # KFs' depth clouds (Tracking/LoopClosing ICP loop verification).
+            from geoflowslam_tpu.ops import gicp as G
+            c1, v1 = kf_clouds[kf_slot_i]
+            c2, v2 = kf_clouds[best]
+            reg = G.gicp_register(c1, v1, c2, v2, init_rot=rot, init_t=t)
+            if int(reg.n_inliers) >= self.cfg.min_sim3_inliers:
+                rot, t = reg.rot, reg.t
+                s = jnp.ones(())
+
         same_map = int(ms.kf_map_id[best]) == int(ms.kf_map_id[kf_slot_i])
         if not same_map:
             # Atlas merge: weld the dormant map into the active one.
@@ -100,9 +115,13 @@ class LoopCloser:
             # RunGlobalBundleAdjustment (LoopClosing.cc:2360): full-map BA
             # after the pose-graph correction (synchronous jitted step here
             # instead of a detached thread).
-            from geoflowslam_tpu.pipeline.local_mapping import (
-                global_ba_step, MappingConfig)
-            ms = global_ba_step(ms, self._map_cfg)
+            if self.mesh is not None:
+                from geoflowslam_tpu.pipeline.local_mapping import (
+                    global_ba_step_distributed)
+                ms = global_ba_step_distributed(ms, self._map_cfg, self.mesh)
+            else:
+                from geoflowslam_tpu.pipeline.local_mapping import global_ba_step
+                ms = global_ba_step(ms, self._map_cfg)
         self.n_loops += 1
         return ms, True
 

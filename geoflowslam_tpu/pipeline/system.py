@@ -90,7 +90,7 @@ class SystemConfig:
 class SlamSystem:
     """RGB-D (mono support via pipeline/mono_init) SLAM system."""
 
-    def __init__(self, cfg: SystemConfig, vocab=None):
+    def __init__(self, cfg: SystemConfig, vocab=None, mesh=None):
         self.cfg = cfg
         self.tcfg = cfg.track_cfg()
         self.mcfg = cfg.map_cfg()
@@ -118,7 +118,7 @@ class SlamSystem:
         self._p_frame = None  # preintegration of the current frame gap
         self.vocab = vocab
         self.loop_closer = (
-            LoopCloser(vocab, cfg.k_max, cfg.loop, map_cfg=self.mcfg)
+            LoopCloser(vocab, cfg.k_max, cfg.loop, map_cfg=self.mcfg, mesh=mesh)
             if (vocab is not None and cfg.loop is not None) else None)
 
         self._build_frame = jax.jit(
@@ -692,7 +692,8 @@ class SlamSystem:
         if self.loop_closer is not None:
             self.ms, found = self.loop_closer.on_keyframe(
                 self.ms, int(kf_slot),
-                inertial=(self.imu is not None and self.imu.initialized))
+                inertial=(self.imu is not None and self.imu.initialized),
+                kf_clouds=self._kf_clouds if self._kf_clouds else None)
             if found:
                 # loop correction moved everything: re-anchor current pose
                 self.cur_rot = self.ms.kf_rot[kf_slot]

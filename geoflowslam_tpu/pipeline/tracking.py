@@ -239,6 +239,29 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame step (bench / low-latency path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "fcfg"))
+def fused_track_step(gray, depth, ms: M.MapState, last_obs_mp,
+                     pred_rot, pred_t, ref_kf, cfg: TrackConfig, fcfg):
+    """One dispatch for the whole per-frame hot path: frame build +
+    motion-model tracking + local-map tracking. Eliminates the per-call
+    dispatch floors between the three stages (~2 ms on the tunneled chip)
+    and lets XLA overlap the stages' memory traffic.
+
+    Returns (frame, TrackResult, updated MapState)."""
+    from geoflowslam_tpu.state.frame import build_frame
+
+    frame = build_frame(gray, depth, fcfg, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    res = track_with_motion_model.__wrapped__(
+        ms, frame, last_obs_mp, pred_rot, pred_t, cfg)
+    ms2, res2 = track_local_map.__wrapped__(
+        ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg)
+    return frame, res2, ms2
+
+
+# ---------------------------------------------------------------------------
 # Keyframe creation (RGB-D)
 # ---------------------------------------------------------------------------
 

@@ -66,3 +66,38 @@ def test_distributed_matches_single_device():
     out_1 = fn1(prob)
     np.testing.assert_allclose(np.asarray(out_d.kf_t), np.asarray(out_1.kf_t),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_global_ba_in_system():
+    """global_ba_step_distributed over the 8-device mesh on a populated map."""
+    import jax.numpy as jnp
+    from geoflowslam_tpu.state import map_state as M
+    from geoflowslam_tpu.pipeline import local_mapping as LM
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), axis_names=("land",))
+    ms = M.create(8, 128, 1024)
+    # two KFs observing 100 shared points
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (128, 3), minval=jnp.array([-2, -2, 3.0]),
+                             maxval=jnp.array([2, 2, 8.0]))
+    for slot, tx in [(0, 0.0), (1, -0.3), (2, -0.6)]:
+        rot = jnp.eye(3)
+        t = jnp.array([tx, 0, 0])
+        pc = pts @ rot.T + t
+        uv = pc[:, :2] / pc[:, 2:3] * 400.0 + jnp.array([320.0, 240.0])
+        ms = M.insert_keyframe(
+            ms, jnp.int32(slot), rot, t, jnp.zeros(3), jnp.zeros(6),
+            jnp.float32(slot * 1.0), uv, jnp.zeros(128, jnp.int32),
+            jnp.zeros(128), jnp.ones((128, 8), jnp.uint32),
+            jnp.full((128,), -1.0), jnp.ones(128, bool),
+            jnp.arange(128, dtype=jnp.int32), jnp.int32(slot - 1))
+    ms = M.add_map_points(ms, jnp.arange(128, dtype=jnp.int32),
+                          pts + 0.02, jnp.ones((128, 8), jnp.uint32),
+                          jnp.zeros((128, 3)), jnp.zeros(128),
+                          jnp.full((128,), 100.0), jnp.int32(0),
+                          jnp.ones(128, bool))
+    mcfg = LM.MappingConfig()
+    out = LM.global_ba_step_distributed(ms, mcfg, mesh, ba_pts=256, iters=6)
+    err = np.linalg.norm(np.asarray(out.mp_pos[:128] - pts), axis=1)
+    assert np.median(err) < 0.01, np.median(err)
