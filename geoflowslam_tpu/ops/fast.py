@@ -87,10 +87,19 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """3x3 non-maximum suppression (keeps strict local maxima)."""
-    m = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    """3x3 non-maximum suppression (keeps strict local maxima).
+
+    Written as 8 shifted elementwise maxes (fuses into the surrounding
+    stencil pipeline) rather than lax.reduce_window, which lowers to a
+    separate windowed pass on TPU."""
+    h, w = score.shape
+    p = jnp.pad(score, 1, constant_values=-jnp.inf)
+    m = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = jnp.maximum(m, p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
     return jnp.where(score >= m, score, 0.0)
 
 
