@@ -52,7 +52,6 @@ def main():
     if args.load_atlas:
         slam.load_atlas(args.load_atlas)
 
-    depth_factor = cfg.frame.depth_map_factor
     loader = FrameLoader([f.rgb_path for f in frames],
                          [f.depth_path for f in frames],
                          height=cfg.frame.orb.height,
@@ -70,10 +69,10 @@ def main():
         if imu is not None and cfg.imu is not None and idx > 0:
             acc, gyro, dts = D.imu_between(imu, last_t, fr.time,
                                            cfg.imu.max_samples_per_frame)
-            slam.track_rgbd_inertial(gray, depth * depth_factor, acc, gyro,
-                                     dts, fr.time)
+            # build_frame applies cfg.frame.depth_map_factor internally
+            slam.track_rgbd_inertial(gray, depth, acc, gyro, dts, fr.time)
         else:
-            slam.track_rgbd(gray, depth * depth_factor, fr.time)
+            slam.track_rgbd(gray, depth, fr.time)
         last_t = fr.time
         if idx % 50 == 0:
             st = slam.map_stats()

@@ -58,7 +58,8 @@ def _sharded_gn_step(prob: BAProblem, fx, fy, cx, cy, bf, damping=1e-6):
     bp_local = -jnp.einsum("kmri,kmr->ki", jp, wr * r)
     bl = -jnp.einsum("kmri,kmr->mi", jl, wr * r)
 
-    hll = hll + damping * jnp.eye(3, dtype=hll.dtype)
+    tr = jnp.trace(hll, axis1=-2, axis2=-1)[:, None, None]
+    hll = hll + (1e-3 * tr / 3.0 + damping) * jnp.eye(3, dtype=hll.dtype)
     hll_inv = jnp.linalg.inv(hll)
     pt_active = (jnp.sum(w, axis=0) > 0) & prob.pt_valid
     hll_inv = hll_inv * pt_active[:, None, None]

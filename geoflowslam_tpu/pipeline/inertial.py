@@ -158,6 +158,20 @@ class InertialTracker:
         self.kf_order.append(kf_slot)
         self.pending = None
 
+    def contiguous_window(self, max_kfs: int):
+        """Longest suffix of the KF chain where every segment has a
+        preintegration, capped at max_kfs (window for vi_ba_step)."""
+        chain = []
+        for s in reversed(self.kf_order):
+            if not chain:
+                chain.append(s)
+                continue
+            if chain[-1] in self.kf_preints:
+                chain.append(s)
+            else:
+                break
+        return list(reversed(chain))[-max_kfs:]
+
     def build_segments(self, slots):
         """Stack per-KF preintegrations for a temporal window into the
         ImuSegments pytree consumed by vi_ba_step. slots: oldest-first KF
@@ -167,9 +181,10 @@ class InertialTracker:
         n = len(slots) - 1
         fields = {k: [] for k in
                   ("dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa",
-                   "info9", "dt", "bias0")}
+                   "info9", "walk_info", "dt", "bias0")}
         valid = []
         eye9 = jnp.eye(9)
+        eye6 = jnp.eye(6)
         ident = pre.Preintegrated.identity(1)
         for i in range(n):
             s = slots[i + 1]
@@ -184,6 +199,11 @@ class InertialTracker:
             # covariance floor = integration noise; keeps the information
             # finite when the window is short / motion is smooth
             fields["info9"].append(jnp.linalg.inv(p.cov[:9, :9] + 1e-6 * eye9))
+            # segment bias random walk: cov accumulated over the segment's
+            # samples (p.cov[9:15]); per-sample cov here would be ~100x too
+            # much information and wrecks f32 conditioning
+            fields["walk_info"].append(
+                jnp.linalg.inv(p.cov[9:15, 9:15] + 1e-10 * eye6))
             fields["dt"].append(p.dt)
             fields["bias0"].append(p.bias)
             valid.append(ok)
@@ -197,16 +217,27 @@ class InertialTracker:
         """InitializeIMU essence. Returns (ms, did_init)."""
         if self.initialized or len(self.kf_order) < self.cfg.init_min_kfs:
             return ms, False
-        slots = [s for s in self.kf_order if s in self.kf_preints]
+        # longest contiguous suffix of the KF chain where every segment has a
+        # preintegration (mono init inserts two KFs without one)
+        chain = []
+        for s in reversed(self.kf_order):
+            if not chain:
+                chain.append(s)
+                continue
+            if chain[-1] in self.kf_preints:
+                chain.append(s)
+            else:
+                break
+        chain = list(reversed(chain))
+        # cap the window (the reference initializes over ~10 recent KFs;
+        # older monocular KFs carry accumulated scale drift)
+        chain = chain[-10:]
+        slots = chain[1:]
         if len(slots) < self.cfg.init_min_kfs - 1:
             return ms, False
         t_span = float(ms.kf_time[slots[-1]] - ms.kf_time[slots[0]])
         if t_span < self.cfg.init_min_time:
             return ms, False
-
-        # chain: first KF of the window is the predecessor of slots[0]
-        chain = [self.kf_order[0]] + slots if self.kf_order[0] not in slots \
-            else slots
         # body rotations/positions from camera poses
         r_wb, p_wb = [], []
         for s in chain:
@@ -235,12 +266,27 @@ class InertialTracker:
         g_norm = float(jnp.linalg.norm(grav))
         if not (7.0 < g_norm < 12.0):
             return ms, False  # bad init; retry later
+        if scale_free and not (0.05 < float(scale) < 20.0):
+            return ms, False
+        # consistency gate: the solved (v, g, s) must actually explain the
+        # position constraints (guards against degenerate mono excitation)
+        resid, mags = [], []
+        for i, p in enumerate(pr):
+            dt = float(p.dt)
+            lhs = float(scale) * (p_wb[i + 1] - p_wb[i])
+            rhs = vels[i] * dt + 0.5 * grav * dt * dt + r_wb[i] @ p.dP
+            resid.append(float(jnp.linalg.norm(lhs - rhs)))
+            mags.append(float(jnp.linalg.norm(lhs)) + 1e-3)
+        if np.median(resid) > 0.15 * np.median(mags) + 0.02:
+            return ms, False
 
         # 3) align gravity to -z and rescale the map
         r_wg = VI.gravity_alignment_rotation(grav)
         ms = M.apply_scaled_rotation(ms, r_wg, jnp.asarray(scale, jnp.float32))
-        # rotate velocities into the aligned world and store per KF
-        vels_aligned = vels @ r_wg.T * scale
+        # velocities from the linear solve are already METRIC; they only
+        # rotate with the gravity alignment (scaling them again was a 5x
+        # velocity error that dragged the post-init BA off-scale)
+        vels_aligned = vels @ r_wg.T
         kf_vel = ms.kf_vel
         for i, s in enumerate(chain):
             kf_vel = kf_vel.at[s].set(vels_aligned[i])

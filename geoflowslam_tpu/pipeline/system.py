@@ -110,6 +110,7 @@ class SlamSystem:
         self.lost_since: Optional[float] = None
         self.n_frames = 0
         self.n_lost = 0
+        self._last_kf_time = 0.0
 
         self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
         from geoflowslam_tpu.utils.timers import StageTimers
@@ -250,6 +251,13 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.state = TrackingState.OK
         self._pending_init_frame = None
+        if self.imu is not None:
+            # register both init KFs; the f1->f2 IMU segment is folded into
+            # the next one (no preintegration bound to s2)
+            self.imu.pending = None
+            self.imu.on_keyframe(int(s1))
+            self.imu.on_keyframe(int(s2))
+            self.imu.body = self.imu.body_from_cam(self.cur_rot, self.cur_t)
         # polish the initial map (reference runs GlobalBundleAdjustemnt(20))
         self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(s2), self.mcfg)
 
@@ -333,8 +341,16 @@ class SlamSystem:
         if (self.imu is not None and self.imu.initialized
                 and self.imu.body is not None and self._p_frame is not None
                 and n2 >= self.cfg.min_inliers_ok):
-            res2 = self._vi_refine(frame, res2, pred_body)
-            n2 = int(res2.n_inliers)
+            res_vi = self._vi_refine(frame, res2, pred_body)
+            n_vi = int(res_vi.n_inliers)
+            if n_vi >= max(self.cfg.min_inliers_ok, int(0.5 * n2)):
+                res2, n2 = res_vi, n_vi
+            else:
+                # inertial term conflicts with a healthy visual solution
+                # (bad bias/scale transient): keep the visual result, drop
+                # the VI state update (reference falls back similarly when
+                # the inertial optimization loses its edges)
+                self._vi_state = None
 
         self.debug_inliers = (n1, n2)
         if n2 >= self.cfg.min_inliers_ok:
@@ -349,7 +365,7 @@ class SlamSystem:
             if self.imu is not None:
                 self._update_body_state(timestamp, pred_body)
             self.frames_since_kf += 1
-            if self._need_new_keyframe(frame, n2):
+            if self._need_new_keyframe(frame, n2, timestamp):
                 self._insert_keyframe(frame, timestamp, res2)
         else:
             self.n_lost += 1
@@ -545,8 +561,18 @@ class SlamSystem:
             b = imu.body_from_cam(self.cur_rot, self.cur_t, v=v)
             imu.body = b
 
-    def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
+    def _need_new_keyframe(self, frame: FrameData, n_inliers: int,
+                           timestamp: float = 0.0) -> bool:
         """NeedNewKeyFrame (src/Tracking.cc:3856) essentials."""
+        if getattr(self, "_localization_only", False):
+            return False
+        # inertial mode: keep IMU preintegration segments short — the
+        # reference forces a KF every 0.5 s with an IMU sensor
+        # (NeedNewKeyFrame's (mSensor==IMU_*) && timestamp-mpLastKeyFrame
+        # >= 0.5 branch)
+        if (self.imu is not None and self.frames_since_kf >= 1
+                and timestamp - self._last_kf_time >= 0.5):
+            return True
         ref = max(self.ref_kf_inliers, 1)
         # emergency insertion on a tracking cliff, regardless of cadence
         # (the reference's c1c condition with thRefRatio)
@@ -568,6 +594,7 @@ class SlamSystem:
         self.ref_kf = int(kf_slot)
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
+        self._last_kf_time = timestamp
         if self.cfg.use_icp and bool(frame.cloud_valid.any()):
             self._register_kf_icp(int(kf_slot), frame, res)
         if self.imu is not None:
@@ -577,6 +604,19 @@ class SlamSystem:
                     self.ms, scale_free=(self.cfg.sensor == "mono"))
                 if did:
                     self.imu.init_time = timestamp
+                    # FullInertialBA right after init (InitializeIMU ->
+                    # FullInertialBA, LocalMapping.cc:1552): jointly refine
+                    # poses/velocities/biases/points over the init window
+                    slots0 = self.imu.contiguous_window(10)
+                    if len(slots0) >= 3:
+                        segs0 = self.imu.build_segments(slots0)
+                        self.ms, _ = LM.vi_ba_step(
+                            self.ms, jnp.asarray(slots0, jnp.int32),
+                            jnp.ones((len(slots0),), bool), segs0,
+                            self.imu.r_cb, self.imu.t_cb,
+                            jnp.linalg.inv(self.imu.calib.cov_walk
+                                           + 1e-12 * jnp.eye(6)),
+                            self.mcfg, len(slots0))
                     # map was re-rotated/scaled: refresh pose + body state
                     self.cur_rot = self.ms.kf_rot[kf_slot]
                     self.cur_t = self.ms.kf_t[kf_slot]
@@ -605,18 +645,19 @@ class SlamSystem:
                 # staged refinement: VIBA1 at +5s, VIBA2 at +10s after IMU
                 # init run a WIDER window (FullInertialBA essence,
                 # LocalMapping.cc:327-368); otherwise LocalInertialBA window
-                kw = min(8, len(self.imu.kf_order))
+                kw_target = 8
                 it = self.imu.init_time
                 if it is not None and not self.imu.viba1_done \
                         and timestamp - it > 5.0:
-                    kw = min(16, len(self.imu.kf_order))
+                    kw_target = 16
                     self.imu.viba1_done = True
                 elif it is not None and not self.imu.viba2_done \
                         and timestamp - it > 10.0:
-                    kw = min(16, len(self.imu.kf_order))
+                    kw_target = 16
                     self.imu.viba2_done = True
-                slots = self.imu.kf_order[-kw:]
-                if all(s in self.imu.kf_preints for s in slots[1:]):
+                slots = self.imu.contiguous_window(kw_target)
+                kw = len(slots)
+                if kw >= 3:
                     segs = self.imu.build_segments(slots)
                     icp = None
                     if self.cfg.use_icp and self._kf_icp_rel:
@@ -730,6 +771,34 @@ class SlamSystem:
 
     def _record_pose(self, timestamp: float):
         self.trajectory.append((timestamp, self.current_pose_wc()))
+
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode: tracking-only, map frozen
+        (no KF insertion / mapping)."""
+        self._localization_only = True
+
+    def deactivate_localization_mode(self):
+        self._localization_only = False
+
+    def reset(self):
+        """System::Reset: wipe the whole Atlas and restart."""
+        n_kp_total = self.cfg.frame.orb.n_features + self.cfg.frame.n_of_slots
+        self.ms = M.create(self.cfg.k_max, n_kp_total, self.cfg.m_max)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.has_vel = False
+        self.last_obs_mp = None
+        self._pending_init_frame = None
+        if self.imu is not None:
+            self.imu = InertialTracker(self.cfg.imu)
+
+    def reset_active_map(self):
+        """System::ResetActiveMap: drop only the active map's contents and
+        reinitialize in a fresh Atlas map."""
+        self.ms = M.create_new_map(self.ms)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.has_vel = False
+        self.last_obs_mp = None
+        self._pending_init_frame = None
 
     def save_atlas(self, path: str):
         """System::SaveAtlas analogue (npz + vocabulary checksum gate)."""

@@ -101,12 +101,11 @@ def inertial_pose_optimization(
     chi-square re-gating of reprojection edges between rounds. Returns
     (s2, inlier_mask, n_inliers).
     """
-    info9 = jnp.linalg.inv(preint.cov[:9, :9] + 1e-9 * jnp.eye(9))
+    info9 = jnp.linalg.inv(preint.cov[:9, :9] + 1e-6 * jnp.eye(9))
     info9 = 0.5 * (info9 + info9.T)
-    if calib is not None:
-        walk_info = jnp.linalg.inv(calib.cov_walk + 1e-12 * jnp.eye(6))
-    else:
-        walk_info = 1e4 * jnp.eye(6)
+    # bias random walk over THIS segment: the preintegration's accumulated
+    # walk covariance (per-sample cov here would be ~100x too stiff)
+    walk_info = jnp.linalg.inv(preint.cov[9:15, 9:15] + 1e-10 * jnp.eye(6))
 
     inlier = obs.valid
 
@@ -152,8 +151,12 @@ def inertial_pose_optimization(
                 r_pr = jnp.concatenate([dr, dp, dv, dbg, dba])
                 h = h + prior_info
                 g = g - prior_info @ r_pr
-            h = h + 1e-5 * jnp.eye(15)
-            dx = jnp.linalg.solve(h, g)
+            h = h + 1e-3 * jnp.diag(jnp.diag(h)) + 1e-5 * jnp.eye(15)
+            # Jacobi preconditioning: blocks span ~1e2 (reproj) to ~1e8+
+            # (IMU/bias) — unscaled f32 solves corrupt the small blocks
+            dj = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(h), 1e-12))
+            h_n = h * dj[:, None] * dj[None, :]
+            dx = dj * jnp.linalg.solve(h_n, dj * g)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
             return apply_tangent(s2c, dx)
 

@@ -42,10 +42,11 @@ class ImuSegments(NamedTuple):
     JVa: jnp.ndarray    # [S,3,3]
     JPg: jnp.ndarray    # [S,3,3]
     JPa: jnp.ndarray    # [S,3,3]
-    info9: jnp.ndarray  # [S,9,9] inverse preintegration covariance
-    dt: jnp.ndarray     # [S]
-    bias0: jnp.ndarray  # [S,6] linearization bias
-    valid: jnp.ndarray  # [S]
+    info9: jnp.ndarray      # [S,9,9] inverse preintegration covariance
+    walk_info: jnp.ndarray  # [S,6,6] inverse SEGMENT bias random-walk cov
+    dt: jnp.ndarray         # [S]
+    bias0: jnp.ndarray      # [S,6] linearization bias
+    valid: jnp.ndarray      # [S]
 
 
 class RelPoseFactors(NamedTuple):
@@ -160,7 +161,10 @@ def vi_local_ba(prob: VIBAProblem, fx, fy, cx, cy, bf=0.0,
         bp6 = -jnp.einsum("kmri,kmr->ki", jp, wr * r)
         bl = -jnp.einsum("kmri,kmr->mi", jl, wr * r)
 
-        hll = hll + damping * jnp.eye(3)
+        # trace-relative damping: landmark blocks span many orders of
+        # magnitude and near-singular ones NaN in a plain f32 inv
+        tr = jnp.trace(hll, axis1=-2, axis2=-1)[:, None, None]
+        hll = hll + (1e-3 * tr / 3.0 + damping) * jnp.eye(3)
         hll_inv = jnp.linalg.inv(hll)
         pt_active = (jnp.sum(w, axis=0) > 0) & vis.pt_valid
         hll_inv = hll_inv * pt_active[:, None, None]
@@ -216,7 +220,7 @@ def vi_local_ba(prob: VIBAProblem, fx, fy, cx, cy, bf=0.0,
         wseg = prob.segs.valid.astype(jnp.float32)
 
         info9 = prob.segs.info9 * wseg[:, None, None]
-        winfo = prob.walk_info[None] * wseg[:, None, None]
+        winfo = prob.segs.walk_info * wseg[:, None, None]
         icp_w = (prob.icp.info * wseg)[:, None, None] * jnp.eye(6)[None] \
             if prob.icp is not None else jnp.zeros((k - 1, 6, 6))
 
@@ -254,8 +258,26 @@ def vi_local_ba(prob: VIBAProblem, fx, fy, cx, cy, bf=0.0,
         sd = sd + jnp.diag(diag_fix + 1e-3 * jnp.diag(sd)) \
             + damping * jnp.eye(k * d)
         rhsf = (rhs * fm).reshape(-1)
-        dx = jnp.linalg.solve(sd, rhsf).reshape(k, d) * fm
+        # Jacobi preconditioning: the blocks span ~1e2 (reproj) to ~1e8+
+        # (IMU/bias information) — unscaled f32 Cholesky loses the small
+        # blocks entirely (dx underflows to 0)
+        dj = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(sd), 1e-12))
+        sd_n = sd * dj[:, None] * dj[None, :]
+        dx = dj * jnp.linalg.solve(sd_n, dj * rhsf)
+        dx = dx.reshape(k, d) * fm
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+        # trust region: GN with near-rigid IMU information overshoots badly
+        # from far-off linearization points (e.g. right after a coarse
+        # monocular scale init); clamp per-block step norms
+        def clamp(seg, cap):
+            n = jnp.linalg.norm(seg, axis=-1, keepdims=True)
+            return seg * jnp.minimum(1.0, cap / jnp.maximum(n, 1e-9))
+        dx = jnp.concatenate([
+            clamp(dx[:, 0:3], 0.2),    # rotation [rad]
+            clamp(dx[:, 3:6], 0.5),    # position [m]
+            clamp(dx[:, 6:9], 1.0),    # velocity [m/s]
+            clamp(dx[:, 9:15], 0.05),  # bias
+        ], axis=1)
 
         # landmark back-substitution (uses the 6-dof cam part of dx)
         dx6 = dx[:, :6]

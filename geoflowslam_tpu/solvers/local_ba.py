@@ -100,8 +100,10 @@ def _gn_step(prob: BAProblem, active, fx, fy, cx, cy, bf, use_huber,
     bp = -jnp.einsum("kmri,kmr->ki", jp, wr * r)                       # [K,6]
     bl = -jnp.einsum("kmri,kmr->mi", jl, wr * r)                       # [M,3]
 
-    # Landmark elimination
-    hll = hll + damping * jnp.eye(3, dtype=hll.dtype)
+    # Landmark elimination (trace-relative damping: absolute damping is
+    # negligible against large blocks and near-singular ones NaN in f32 inv)
+    tr = jnp.trace(hll, axis1=-2, axis2=-1)[:, None, None]
+    hll = hll + (1e-3 * tr / 3.0 + damping) * jnp.eye(3, dtype=hll.dtype)
     hll_inv = jnp.linalg.inv(hll)                                      # [M,3,3]
     # point inactive if no valid obs at all -> its update must be zero
     pt_active = (jnp.sum(w, axis=0) > 0) & prob.pt_valid

@@ -67,6 +67,8 @@ def test_vi_local_ba_converges():
         # midpoint-rule bias (~mm) overwhelms the visual terms
         info9=jnp.stack([jnp.linalg.inv(s.cov[:9, :9] + 1e-6 * jnp.eye(9))
                          for s in segs]),
+        walk_info=jnp.stack([jnp.linalg.inv(s.cov[9:15, 9:15] + 1e-10 * jnp.eye(6))
+                             for s in segs]),
         dt=jnp.stack([s.dt for s in segs]),
         bias0=jnp.stack([s.bias for s in segs]),
         valid=jnp.ones(k - 1, bool))
