@@ -351,6 +351,7 @@ class SlamSystem:
                 # the VI state update (reference falls back similarly when
                 # the inertial optimization loses its edges)
                 self._vi_state = None
+                self._vi_prior = None
 
         self.debug_inliers = (n1, n2)
         if n2 >= self.cfg.min_inliers_ok:
@@ -532,12 +533,28 @@ class SlamSystem:
             inv_sigma2=1.0 / (self.tcfg.scale_factor
                               ** feat.level.astype(jnp.float32)) ** 2,
             valid=valid)
-        s2, inl, n_inl = VI.inertial_pose_optimization(
-            s2_vis, s1, self._p_frame, obs, imu.r_cb, imu.t_cb,
-            self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy, self.cfg.bf,
-            calib=imu.calib, rounds=2, iters=6)
+        prior = getattr(self, "_vi_prior", None)
+        if prior is None:
+            # first frame after a keyframe: the last state is map-anchored
+            # (PoseInertialOptimizationLastKeyFrame) — fix it, recover the
+            # marginal info of s2 to seed the frame-to-frame prior chain
+            s2, inl, n_inl, marg = VI.inertial_pose_optimization(
+                s2_vis, s1, self._p_frame, obs, imu.r_cb, imu.t_cb,
+                self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+                self.cfg.bf, calib=imu.calib, rounds=2, iters=6,
+                return_info=True)
+        else:
+            # frame-to-frame: joint solve over (s1, s2) with the marginalized
+            # prior on s1 (PoseInertialOptimizationLastFrame) — lets current
+            # vision retro-correct the velocity chain instead of
+            # dead-reckoning against a frozen s1
+            s2, inl, n_inl, marg = VI.inertial_pose_optimization_joint(
+                s2_vis, s1, prior, self._p_frame, obs, imu.r_cb, imu.t_cb,
+                self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+                self.cfg.bf, rounds=2, iters=6)
         rot, t = imu.cam_from_body(s2)
         self._vi_state = s2
+        self._vi_marg = marg
         return T.TrackResult(rot=rot, t=t,
                              obs_mp=jnp.where(inl, res.obs_mp, -1),
                              n_inliers=n_inl)
@@ -549,6 +566,7 @@ class SlamSystem:
             imu.body = vi
             imu.bias = jnp.concatenate([vi.bg, vi.ba])
             self._vi_state = None
+            self._vi_prior = getattr(self, "_vi_marg", None)
         else:
             # derive body pose from camera; velocity by finite difference
             # when uninitialized (used by the initializer only)
@@ -595,6 +613,9 @@ class SlamSystem:
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
         self._last_kf_time = timestamp
+        # new KF: next frame tracks against the map-anchored KF state
+        # (LastKeyFrame mode), restarting the frame-to-frame prior chain
+        self._vi_prior = None
         if self.cfg.use_icp and bool(frame.cloud_valid.any()):
             self._register_kf_icp(int(kf_slot), frame, res)
         if self.imu is not None:
@@ -758,6 +779,7 @@ class SlamSystem:
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
         self.last_obs_mp = None
+        self._vi_prior = None
 
     # -- output ------------------------------------------------------------
 
@@ -787,6 +809,7 @@ class SlamSystem:
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
         self.last_obs_mp = None
+        self._vi_prior = None
         self._pending_init_frame = None
         if self.imu is not None:
             self.imu = InertialTracker(self.cfg.imu)
@@ -798,6 +821,7 @@ class SlamSystem:
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
         self.last_obs_mp = None
+        self._vi_prior = None
         self._pending_init_frame = None
 
     def save_atlas(self, path: str):

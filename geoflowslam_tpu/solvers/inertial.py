@@ -93,13 +93,15 @@ def inertial_pose_optimization(
     obs: PoseObs, r_cb, t_cb, fx, fy, cx, cy, bf=0.0,
     calib: Optional[pre.ImuCalib] = None,
     prior_s2: Optional[BodyState] = None, prior_info: Optional[jnp.ndarray] = None,
-    rounds: int = 4, iters: int = 10,
+    rounds: int = 4, iters: int = 10, return_info: bool = False,
 ):
     """Optimize the current body state s2; s1 (last KF/frame) is fixed.
 
     Mirrors PoseInertialOptimizationLastKeyFrame: 4 rounds of GN with
     chi-square re-gating of reprojection edges between rounds. Returns
-    (s2, inlier_mask, n_inliers).
+    (s2, inlier_mask, n_inliers) — plus the 15x15 information matrix of s2
+    at the solution when return_info (the reference recovers it the same
+    way to seed the next frame's EdgePriorPoseImu, Optimizer.cc:6334+).
     """
     info9 = jnp.linalg.inv(preint.cov[:9, :9] + 1e-6 * jnp.eye(9))
     info9 = 0.5 * (info9 + info9.T)
@@ -171,7 +173,144 @@ def inertial_pose_optimization(
         inlier = obs.valid & (chi2 <= th) & (z > 0)
 
     s2 = s2._replace(r_wb=lie.normalize_rotation(s2.r_wb))
-    return s2, inlier, jnp.sum(inlier)
+    if not return_info:
+        return s2, inlier, jnp.sum(inlier)
+
+    # Recover the information of s2 at the solution (reprojection inliers +
+    # inertial + bias-walk terms) for the next frame's marginalized prior.
+    def res_all(d):
+        s = apply_tangent(s2, d)
+        r_re, z = _reproj_residual_body(s, obs, r_cb, t_cb, fx, fy, cx, cy, bf)
+        r_in = inertial_residual(s1, s, preint)
+        r_bw = jnp.concatenate([s.bg - s1.bg, s.ba - s1.ba])
+        return r_re, r_in, r_bw
+
+    j_re, j_in, j_bw = jax.jacfwd(res_all)(jnp.zeros(15))
+    w = obs.inv_sigma2 * (inlier & (z > 0)).astype(jnp.float32)
+    rm = jnp.stack([jnp.ones_like(w), jnp.ones_like(w),
+                    obs.is_stereo.astype(w.dtype)], 1)
+    wr = w[:, None] * rm
+    info = (jnp.einsum("nri,nr,nrj->ij", j_re, wr, j_re)
+            + j_in.T @ info9 @ j_in + j_bw.T @ walk_info @ j_bw)
+    info = _sanitize_info(info)
+    return s2, inlier, jnp.sum(inlier), info
+
+
+def _sanitize_info(info: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize + clamp a marginal information matrix to PSD (f32 Schur
+    complements can go slightly indefinite)."""
+    info = 0.5 * (info + info.T)
+    ev, vec = jnp.linalg.eigh(info)
+    ev = jnp.clip(ev, 0.0, None)
+    info = (vec * ev[None, :]) @ vec.T
+    return jnp.where(jnp.all(jnp.isfinite(info)), info,
+                     jnp.zeros_like(info))
+
+
+def _prior_tangent(s: BodyState, mean: BodyState) -> jnp.ndarray:
+    """15-dim right tangent of s relative to mean (EdgePriorPoseImu residual,
+    include/G2oTypes.h:905: the error is the update that maps the prior mean
+    to the current estimate, in the apply_tangent convention)."""
+    dr = lie.so3_log(mean.r_wb.T @ s.r_wb)
+    dp = mean.r_wb.T @ (s.p - mean.p)
+    return jnp.concatenate([dr, dp, s.v - mean.v, s.bg - mean.bg,
+                            s.ba - mean.ba])
+
+
+def inertial_pose_optimization_joint(
+    s2: BodyState, s1: BodyState, prior_info: jnp.ndarray,
+    preint: pre.Preintegrated, obs: PoseObs, r_cb, t_cb,
+    fx, fy, cx, cy, bf=0.0, rounds: int = 4, iters: int = 6,
+):
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:6762): joint GN over
+    the PREVIOUS frame state s1 — held only by its marginalized prior
+    (EdgePriorPoseImu) — and the current frame s2 (reprojection + inertial
+    + bias random walk). After convergence s1 is marginalized out by Schur
+    complement; the marginal becomes the next frame's prior.
+
+    This is what makes velocity observable in monocular-inertial tracking:
+    with a frozen s1 the velocity chain is pure dead reckoning, while the
+    joint solve lets the current frame's vision retro-correct v1.
+
+    Returns (s2, inlier_mask, n_inliers, marg_info [15,15]).
+    """
+    info9 = jnp.linalg.inv(preint.cov[:9, :9] + 1e-6 * jnp.eye(9))
+    info9 = 0.5 * (info9 + info9.T)
+    walk_info = jnp.linalg.inv(preint.cov[9:15, 9:15] + 1e-10 * jnp.eye(6))
+    s1_bar = s1  # prior mean = last frame's solution
+
+    inlier = obs.valid
+
+    def res_all(s1c, s2c, d):
+        sa = apply_tangent(s1c, d[:15])
+        sb = apply_tangent(s2c, d[15:])
+        r_re, z = _reproj_residual_body(sb, obs, r_cb, t_cb, fx, fy, cx, cy, bf)
+        r_in = inertial_residual(sa, sb, preint)
+        r_bw = jnp.concatenate([sb.bg - sa.bg, sb.ba - sa.ba])
+        r_pr = _prior_tangent(sa, s1_bar)
+        return r_re, r_in, r_bw, r_pr, z
+
+    def obs_weights(z, inlier, use_huber, r_re):
+        chi2 = (r_re[:, 0] ** 2 + r_re[:, 1] ** 2
+                + jnp.where(obs.is_stereo, r_re[:, 2] ** 2, 0.0)) * obs.inv_sigma2
+        delta = jnp.where(obs.is_stereo, HUBER_STEREO, HUBER_MONO)
+        w = _huber_w(chi2, delta) if use_huber else jnp.ones_like(chi2)
+        w = w * obs.inv_sigma2 * (inlier & (z > 0)).astype(r_re.dtype)
+        rm = jnp.stack([jnp.ones_like(w), jnp.ones_like(w),
+                        obs.is_stereo.astype(w.dtype)], 1)
+        return w[:, None] * rm
+
+    def assemble(s1c, s2c, inlier, use_huber):
+        d0 = jnp.zeros(30)
+        r_re, r_in, r_bw, r_pr, z = res_all(s1c, s2c, d0)
+        j_re, j_in, j_bw, j_pr = jax.jacfwd(
+            lambda d: res_all(s1c, s2c, d)[:4])(d0)
+        wr = obs_weights(z, inlier, use_huber, r_re)
+        h = jnp.einsum("nri,nr,nrj->ij", j_re, wr, j_re)
+        g = -jnp.einsum("nri,nr->i", j_re, wr * r_re)
+        h = h + j_in.T @ info9 @ j_in
+        g = g - j_in.T @ info9 @ r_in
+        h = h + j_bw.T @ walk_info @ j_bw
+        g = g - j_bw.T @ walk_info @ r_bw
+        h = h + j_pr.T @ prior_info @ j_pr
+        g = g - j_pr.T @ prior_info @ r_pr
+        return h, g
+
+    def gn(carry, inlier, use_huber):
+        def body(_, carry):
+            s1c, s2c = carry
+            h, g = assemble(s1c, s2c, inlier, use_huber)
+            h = h + 1e-3 * jnp.diag(jnp.diag(h)) + 1e-5 * jnp.eye(30)
+            dj = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(h), 1e-12))
+            h_n = h * dj[:, None] * dj[None, :]
+            dx = dj * jnp.linalg.solve(h_n, dj * g)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+            return (apply_tangent(s1c, dx[:15]), apply_tangent(s2c, dx[15:]))
+        return jax.lax.fori_loop(0, iters, body, carry)
+
+    carry = (s1, s2)
+    for rnd in range(rounds):
+        carry = gn(carry, inlier, use_huber=(rnd < rounds - 1))
+        r_re, z = _reproj_residual_body(carry[1], obs, r_cb, t_cb,
+                                        fx, fy, cx, cy, bf)
+        chi2 = (r_re[:, 0] ** 2 + r_re[:, 1] ** 2
+                + jnp.where(obs.is_stereo, r_re[:, 2] ** 2, 0.0)) * obs.inv_sigma2
+        th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+        inlier = obs.valid & (chi2 <= th) & (z > 0)
+
+    s1f, s2f = carry
+    # Marginalize s1: prior for the next frame = H22 - H21 H11^-1 H12 at the
+    # solution, with inlier weights and no robust kernel.
+    h, _ = assemble(s1f, s2f, inlier, use_huber=False)
+    h = h + 1e-6 * jnp.eye(30)
+    h11, h12, h22 = h[:15, :15], h[:15, 15:], h[15:, 15:]
+    dj = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(h11), 1e-12))
+    x = dj[:, None] * jnp.linalg.solve(h11 * dj[:, None] * dj[None, :],
+                                       dj[:, None] * h12)
+    marg = _sanitize_info(h22 - h12.T @ x)
+
+    s2f = s2f._replace(r_wb=lie.normalize_rotation(s2f.r_wb))
+    return s2f, inlier, jnp.sum(inlier), marg
 
 
 # ---------------------------------------------------------------------------
