@@ -25,10 +25,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from geoflowslam_tpu.math import lie
 
-GRAVITY = jnp.array([0.0, 0.0, -9.81], jnp.float32)  # IMU::GRAVITY_VALUE, ImuTypes.h
+GRAVITY = np.array([0.0, 0.0, -9.81], np.float32)  # IMU::GRAVITY_VALUE, ImuTypes.h (host const)
 
 
 class ImuCalib(NamedTuple):

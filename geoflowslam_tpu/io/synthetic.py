@@ -19,7 +19,7 @@ import numpy as np
 
 from geoflowslam_tpu.math import lie
 
-GRAVITY = jnp.array([0.0, 0.0, -9.81], jnp.float32)
+GRAVITY = np.array([0.0, 0.0, -9.81], np.float32)
 
 
 def _make_texture(key, size=1024, octaves=5):

@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from geoflowslam_tpu.ops.orb import unpack_bits_pm1
 
 TH_LOW = 50      # ORBmatcher::TH_LOW
 TH_HIGH = 100    # ORBmatcher::TH_HIGH
 HISTO_LENGTH = 30
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # host constant; no device op at import
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
@@ -111,7 +112,8 @@ def level_mask(level_query: jnp.ndarray, level_target: jnp.ndarray,
 
 def search_by_projection(uv_proj, level_pred, valid_proj, desc_query, feat_uv,
                          feat_level, feat_desc, feat_valid, radius,
-                         max_dist=TH_HIGH, ratio=0.9):
+                         max_dist=TH_HIGH, ratio=0.9,
+                         min_off: int = -1, max_off: int = 1):
     """Projection-guided search (frame-from-last-frame flavour,
     ORBmatcher::SearchByProjection /root/reference/src/ORBmatcher.cc:1853).
 
@@ -124,8 +126,21 @@ def search_by_projection(uv_proj, level_pred, valid_proj, desc_query, feat_uv,
       radius: [N] per-query search radius in pixels (already scale-adjusted).
     Returns (match_idx [N] into target features, dist [N]).
     """
+    from geoflowslam_tpu.ops import pallas_kernels as PK
+    if PK.on_tpu():
+        # fused Pallas path: gates applied on the in-VMEM distance tile, no
+        # [N,M] HBM mask / distance matrix (verified equal vs the XLA path,
+        # tests/test_pallas_kernels.py)
+        best, second, bidx = PK.search_by_projection_pallas(
+            uv_proj, level_pred, valid_proj, unpack_bits_pm1(desc_query),
+            feat_uv, feat_level, unpack_bits_pm1(feat_desc), feat_valid,
+            radius, min_off=min_off, max_off=max_off)
+        ok = (bidx >= 0) & (best <= max_dist) \
+            & (best <= ratio * jnp.minimum(second, jnp.float32(BIG)))
+        return (jnp.where(ok, bidx, -1),
+                jnp.where(ok, best.astype(jnp.int32), BIG))
     m = spatial_mask(uv_proj, feat_uv, radius)
-    m = m & level_mask(level_pred, feat_level, -1, 1)
+    m = m & level_mask(level_pred, feat_level, min_off, max_off)
     m = m & valid_proj[:, None]
     return match_descriptors(desc_query, valid_proj, feat_desc, feat_valid,
                              max_dist=max_dist, ratio=ratio, mutual=False, mask=m)

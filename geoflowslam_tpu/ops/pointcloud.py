@@ -18,6 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def depth_to_cloud(depth: jnp.ndarray, fx, fy, cx, cy, stride: int = 3,
@@ -37,7 +38,75 @@ def depth_to_cloud(depth: jnp.ndarray, fx, fy, cx, cy, stride: int = 3,
     return pts, mask
 
 
-INVALID_KEY = jnp.int32(0x7FFFFFFF)
+def lidar_feature_cloud(depth: jnp.ndarray, fx, fy, cx, cy, stride: int = 3,
+                        max_depth: float = 10.0, min_depth: float = 0.05,
+                        edge_curv: float = 0.1, edges_per_row: int = 10):
+    """SSL_SLAM2-style edge/surf feature extraction from the organized depth
+    cloud (LaserProcessingClass::featureExtraction[FromSector],
+    /root/reference/src/LidarProcess.cc:35-216): the depth image's rows are
+    the scan lines; curvature c_j = |Σ_{k=-5..5} p_{j+k} - 10 p_j|^2 / |p_j|^2
+    along each row; per row the highest-curvature points above `edge_curv`
+    become edge features (±5-neighbour suppression — here a ±5 local-max
+    test, the dense equivalent of the reference's picked_points set), the
+    smooth remainder becomes surf features. The reference then continues
+    with surf+edge as the frame's feature cloud.
+
+    Returns ([P,3] points, [P] valid, [P] is_edge) with the same static
+    P = (H//stride)*(W//stride) layout as depth_to_cloud.
+
+    Departure from the reference noted: its curvature normalizes only the
+    z-term by distance (operator precedence in LidarProcess.cc:131); we
+    normalize the full squared diff, which is the SSL_SLAM2 intent.
+    """
+    h, w = depth.shape
+    d = depth[::stride, ::stride]
+    hs, ws = d.shape
+    ys = (jnp.arange(hs, dtype=depth.dtype) * stride)[:, None]
+    xs = (jnp.arange(ws, dtype=depth.dtype) * stride)[None, :]
+    z = d
+    x = (xs - cx) / fx * z
+    y = (ys - cy) / fy * z
+    p = jnp.stack([x, y, z], axis=-1)                       # [hs, ws, 3]
+    ok = (z > min_depth) & (z < max_depth) & jnp.isfinite(z)
+
+    # curvature along rows: Σ_{k=-5..5} p_{j+k} - 10 p_j (the k=0 term in
+    # the window sum contributes p_j, hence the -11+1 = -10 net weight)
+    pz = jnp.where(ok[..., None], p, 0.0)
+    acc = -11.0 * pz
+    win_ok = ok
+    for k in range(-5, 6):
+        sh = jnp.roll(pz, -k, axis=1)
+        sh_ok = jnp.roll(ok, -k, axis=1)
+        acc = acc + sh
+        win_ok = win_ok & sh_ok
+    # kill the roll wrap-around at row ends
+    col = jnp.arange(ws)[None, :]
+    win_ok = win_ok & (col >= 5) & (col < ws - 5)
+    dist2 = jnp.maximum(jnp.sum(p * p, axis=-1), 1e-6)
+    curv = jnp.where(win_ok, jnp.sum(acc * acc, axis=-1) / dist2, -1.0)
+
+    # edges: top `edges_per_row` per row among c > edge_curv, with ±5
+    # suppression via a windowed local-max test
+    local_max = curv
+    for k in range(1, 6):
+        local_max = jnp.maximum(local_max, jnp.roll(curv, k, axis=1))
+        local_max = jnp.maximum(local_max, jnp.roll(curv, -k, axis=1))
+    is_peak = (curv >= local_max) & (curv > edge_curv)
+    topv, topi = jax.lax.top_k(jnp.where(is_peak, curv, -1.0),
+                               min(edges_per_row, ws))
+    keep = jnp.zeros((hs, ws), bool)
+    rows = jnp.broadcast_to(jnp.arange(hs)[:, None], topi.shape)
+    keep = keep.at[rows, topi].set(topv > 0)
+    is_edge = keep & win_ok
+
+    # surf: smooth valid points not picked as edges (reference keeps all
+    # non-edge sector points as surf candidates)
+    is_surf = win_ok & ~is_edge
+    valid = (is_edge | is_surf) & ok
+    return (p.reshape(-1, 3), valid.reshape(-1), is_edge.reshape(-1))
+
+
+INVALID_KEY = np.int32(0x7FFFFFFF)  # host constant; no device op at import
 
 
 def _voxel_keys(pts: jnp.ndarray, valid: jnp.ndarray, voxel: float):

@@ -21,6 +21,7 @@ observation set — no per-edge loops.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -30,8 +31,10 @@ from geoflowslam_tpu.math import lie
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
-HUBER_MONO = jnp.sqrt(CHI2_MONO)
-HUBER_STEREO = jnp.sqrt(CHI2_STEREO)
+# Plain-Python constants: no device ops at import time (a module-level jnp
+# call would initialize the backend on import, breaking host-pinned dryruns).
+HUBER_MONO = math.sqrt(CHI2_MONO)
+HUBER_STEREO = math.sqrt(CHI2_STEREO)
 
 
 class PoseObs(NamedTuple):
