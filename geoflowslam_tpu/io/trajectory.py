@@ -93,13 +93,13 @@ def load_trajectory_tum(path: str) -> List[Tuple[float, np.ndarray]]:
     return out
 
 
-def keyframe_trajectory(ms, imu_body=False) -> List[Tuple[float, np.ndarray]]:
+def keyframe_trajectory(ms, imu_body=False,
+                        time_base: float = 0.0) -> List[Tuple[float, np.ndarray]]:
     """Extract the KF trajectory from a MapState (SaveKeyFrameTrajectoryTUM),
-    sorted by timestamp."""
-    import jax.numpy as jnp
-
+    sorted by timestamp. `time_base` re-bases the device-side f32 offset
+    stamps back to the session's absolute f64 epoch."""
     valid = np.asarray(ms.kf_valid)
-    times = np.asarray(ms.kf_time)
+    times = np.asarray(ms.kf_time).astype(np.float64) + float(time_base)
     rots = np.asarray(ms.kf_rot)
     ts = np.asarray(ms.kf_t)
     entries = []

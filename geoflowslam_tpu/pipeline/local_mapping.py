@@ -186,6 +186,122 @@ def global_ba_step(ms: M.MapState, cfg: MappingConfig, ba_pts: int = 4096):
     return ms
 
 
+class AsyncGBA:
+    """Background-style, abortable global BA (RunGlobalBundleAdjustment,
+    /root/reference/src/LoopClosing.cc:2360-2470).
+
+    The reference runs GBA on a detached thread with an abort flag and, on
+    completion, propagates corrections to KFs/points created meanwhile. One
+    TPU core runs one program at a time, so the TPU-native equivalent is
+    *interleaved micro-steps*: `start()` snapshots the problem, the host
+    calls `step()` once per frame (a single jitted GN iteration, a few ms —
+    tracking latency stays bounded), `abort()` drops it (mbStopGBA), and
+    when the iteration budget completes `finish()` writes the optimized
+    state back, propagating corrections to KFs inserted during the run
+    through the temporal chain (mTcwGBA parent propagation) and to
+    non-optimized points through their reference KF.
+    """
+
+    def __init__(self, cfg: MappingConfig, ba_pts: int = 4096,
+                 iters_total: int = 15):
+        self.cfg = cfg
+        self.ba_pts = ba_pts
+        self.iters_total = iters_total
+        self.active = False
+        self._prob = None
+
+    def start(self, ms: M.MapState):
+        kf_idx = jnp.arange(ms.k_max, dtype=jnp.int32)
+        in_win = ms.kf_valid & (ms.kf_map_id == ms.active_map)
+        times = jnp.where(in_win, ms.kf_time, jnp.inf)
+        o1 = jnp.argmin(times)
+        o2 = jnp.argmin(times.at[o1].set(jnp.inf))
+        fixed = jnp.zeros((ms.k_max,), bool).at[o1].set(True).at[o2].set(True)
+        big = dataclasses.replace(self.cfg, ba_max_pts=self.ba_pts)
+        prob, mp_idx, mp_in, ctx = _gba_extract(ms, in_win, fixed, big)
+        self._prob = prob
+        self._active_mask = prob.obs_valid & prob.pt_valid[None, :] \
+            & prob.kf_valid[:, None]
+        self._mp_idx, self._mp_in = mp_idx, mp_in
+        self._in_win, self._fixed = in_win, fixed
+        self._kf_idx = kf_idx
+        self.i = 0
+        self.active = True
+
+    def abort(self):
+        self.active = False
+        self._prob = None
+
+    def step(self) -> bool:
+        """One GN iteration; returns True when the budget is done."""
+        if not self.active:
+            return False
+        self._prob = _gba_iter(self._prob, self._active_mask, self.cfg)
+        self.i += 1
+        return self.i >= self.iters_total
+
+    def finish(self, ms: M.MapState) -> M.MapState:
+        out = self._prob
+        self.active = False
+        self._prob = None
+        return _gba_writeback(ms, out, self._in_win, self._fixed,
+                              self._mp_idx, self._mp_in, self.cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gba_extract(ms, in_win, fixed, cfg: MappingConfig):
+    kf_idx = jnp.arange(ms.k_max, dtype=jnp.int32)
+    return extract_ba_problem(ms, kf_idx, in_win, fixed, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gba_iter(prob, active, cfg: MappingConfig):
+    return local_ba._gn_step(prob, active, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                             cfg.bf, True)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _gba_writeback(ms: M.MapState, out, in_win, fixed, mp_idx, mp_in,
+                   cfg: MappingConfig):
+    """Write optimized poses/points; propagate corrections to state created
+    during the run (KFs via the temporal chain, points via their ref KF)."""
+    k = ms.k_max
+    # per-slot corrected pose tables (start from current poses)
+    new_rot = jnp.where(in_win[:, None, None], out.kf_rot, ms.kf_rot)
+    new_t = jnp.where(in_win[:, None], out.kf_t, ms.kf_t)
+    corrected = in_win
+    # KFs inserted during the run: T_c_new = T_c_now ∘ T_r_now^-1 ∘ T_r_new
+    for _ in range(4):
+        prev = ms.kf_prev
+        pr = jnp.maximum(prev, 0)
+        can = ms.kf_valid & ~corrected & (prev >= 0) & corrected[pr]
+        r_now, t_now = ms.kf_rot[pr], ms.kf_t[pr]
+        # T_r_now^-1 ∘ T_r_new:  R = R_now^T R_new, t = R_now^T (t_new - t_now)
+        dr = jnp.einsum("kba,kbc->kac", r_now, new_rot[pr])
+        dtv = jnp.einsum("kba,kb->ka", r_now, new_t[pr] - t_now)
+        cr = jnp.einsum("kab,kbc->kac", ms.kf_rot, dr)
+        ct = jnp.einsum("kab,kb->ka", ms.kf_rot, dtv) + ms.kf_t
+        new_rot = jnp.where(can[:, None, None], cr, new_rot)
+        new_t = jnp.where(can[:, None], ct, new_t)
+        corrected = corrected | can
+    # points: optimized ones directly; others via their reference KF:
+    # X_new = T_r_new^-1 ∘ T_r_now (X)
+    opt_pt = jnp.zeros((ms.m_max,), bool).at[mp_idx].set(mp_in)
+    pos = ms.mp_pos.at[mp_idx].set(
+        jnp.where(mp_in[:, None], out.pts, ms.mp_pos[mp_idx]))
+    ref = jnp.clip(ms.mp_first_kf, 0, k - 1)
+    ro, to = ms.kf_rot[ref], ms.kf_t[ref]
+    rn, tn = new_rot[ref], new_t[ref]
+    pc = jnp.einsum("mij,mj->mi", ro, ms.mp_pos) + to
+    pw = jnp.einsum("mji,mj->mi", rn, pc - tn)
+    move = ms.mp_valid & ~opt_pt & corrected[ref]
+    pos = jnp.where(move[:, None], pw, pos)
+    return ms._replace(
+        kf_rot=jnp.where(corrected[:, None, None], new_rot, ms.kf_rot),
+        kf_t=jnp.where(corrected[:, None], new_t, ms.kf_t),
+        mp_pos=pos)
+
+
 def global_ba_step_distributed(ms: M.MapState, cfg: MappingConfig, mesh,
                                ba_pts: int = 4096, iters: int = 10):
     """Global BA over a jax.sharding.Mesh: landmarks sharded across the
@@ -298,6 +414,46 @@ def keyframe_culling(ms: M.MapState, center_kf, protect_recent: float = 1.0,
     return ms, jnp.where(do_cull, best, -1).astype(jnp.int32)
 
 
+def _fuse_into(ms: M.MapState, center_kf, kf, enabled, cfg: MappingConfig,
+               radius_px: float = 3.0):
+    """Fuse the center KF's map points into duplicates observed by `kf`:
+    project, match by descriptor within `radius_px`, relabel the newer slot
+    onto the older one everywhere (MapPoint::Replace essence)."""
+    obs_c = ms.kf_obs_mp[center_kf]
+    valid_c = obs_c >= 0
+    mp = jnp.maximum(obs_c, 0)
+    pts = ms.mp_pos[mp]
+    rot, t = ms.kf_rot[kf], ms.kf_t[kf]
+    pc = pts @ rot.T + t
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+    u = cfg.fx * pc[:, 0] / z + cfg.cx
+    v = cfg.fy * pc[:, 1] / z + cfg.cy
+    uv = jnp.stack([u, v], axis=1)
+    inb = (z > 0.1) & (u >= 0) & (u < 2 * cfg.cx) & (v >= 0) & (v < 2 * cfg.cy)
+    q_valid = valid_c & inb & ms.kf_valid[kf]
+    radius = jnp.full((obs_c.shape[0],), radius_px)
+    m_idx, m_dist = matching.search_by_projection(
+        uv, jnp.zeros_like(obs_c), q_valid, ms.mp_desc[mp],
+        ms.kf_uv[kf], ms.kf_level[kf], ms.kf_desc[kf],
+        ms.kf_kp_valid[kf], radius, max_dist=matching.TH_LOW)
+    other = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
+    dup = (m_idx >= 0) & (other >= 0) & (other != mp) & enabled
+    # merge: replace our mp with theirs everywhere (keep earlier slot id)
+    keep = jnp.where(other < mp, other, mp)
+    drop = jnp.where(other < mp, mp, other)
+    # relabel all observations of `drop` -> `keep`
+    relabel = jnp.arange(ms.m_max, dtype=jnp.int32)
+    relabel = relabel.at[jnp.where(dup, drop, ms.m_max)].set(
+        jnp.where(dup, keep, 0).astype(jnp.int32), mode="drop")
+    new_obs_all = jnp.where(ms.kf_obs_mp >= 0,
+                            relabel[jnp.maximum(ms.kf_obs_mp, 0)],
+                            ms.kf_obs_mp)
+    dead = jnp.zeros((ms.m_max,), bool).at[jnp.where(dup, drop, ms.m_max)].set(
+        True, mode="drop")
+    return ms._replace(kf_obs_mp=new_obs_all,
+                       mp_valid=ms.mp_valid & ~dead)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
     """SearchInNeighbors essence: map points of the center KF that project
@@ -310,46 +466,95 @@ def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
         * (ms.kf_map_id == ms.kf_map_id[center_kf])
     w_nb, nb = jax.lax.top_k(row, 5)
 
-    def fuse_into(ms, kf, enabled):
-        obs_c = ms.kf_obs_mp[center_kf]
-        valid_c = obs_c >= 0
-        mp = jnp.maximum(obs_c, 0)
-        pts = ms.mp_pos[mp]
-        rot, t = ms.kf_rot[kf], ms.kf_t[kf]
-        pc = pts @ rot.T + t
-        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
-        u = cfg.fx * pc[:, 0] / z + cfg.cx
-        v = cfg.fy * pc[:, 1] / z + cfg.cy
-        uv = jnp.stack([u, v], axis=1)
-        inb = (z > 0.1) & (u >= 0) & (u < 2 * cfg.cx) & (v >= 0) & (v < 2 * cfg.cy)
-        q_valid = valid_c & inb & ms.kf_valid[kf]
-        radius = jnp.full((obs_c.shape[0],), 3.0)
-        m_idx, m_dist = matching.search_by_projection(
-            uv, jnp.zeros_like(obs_c), q_valid, ms.mp_desc[mp],
-            ms.kf_uv[kf], ms.kf_level[kf], ms.kf_desc[kf],
-            ms.kf_kp_valid[kf], radius, max_dist=matching.TH_LOW)
-        other = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
-        dup = (m_idx >= 0) & (other >= 0) & (other != mp) & enabled
-        # merge: replace our mp with theirs everywhere (keep earlier slot id)
-        keep = jnp.where(other < mp, other, mp)
-        drop = jnp.where(other < mp, mp, other)
-        # relabel all observations of `drop` -> `keep`
-        relabel = jnp.arange(ms.m_max, dtype=jnp.int32)
-        relabel = relabel.at[jnp.where(dup, drop, ms.m_max)].set(
-            jnp.where(dup, keep, 0).astype(jnp.int32), mode="drop")
-        new_obs_all = jnp.where(ms.kf_obs_mp >= 0,
-                                relabel[jnp.maximum(ms.kf_obs_mp, 0)],
-                                ms.kf_obs_mp)
-        dead = jnp.zeros((ms.m_max,), bool).at[jnp.where(dup, drop, ms.m_max)].set(
-            True, mode="drop")
-        return ms._replace(kf_obs_mp=new_obs_all,
-                           mp_valid=ms.mp_valid & ~dead)
-
     for i in range(5):
         # a zero-weight "neighbour" is just top_k filler (possibly a KF from
         # a dormant Atlas map) — fusing into it would weld maps incorrectly
-        ms = fuse_into(ms, nb[i], w_nb[i] > 0)
+        ms = _fuse_into(ms, center_kf, nb[i], w_nb[i] > 0, cfg)
     return ms
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fuse_pair(ms: M.MapState, kf_a, kf_b, cfg: MappingConfig):
+    """Loop SearchAndFuse (/root/reference/src/LoopClosing.cc:2224): after a
+    loop/merge correction, weld the two loop ends by fusing duplicates in
+    both directions with a wide search radius (the corrected poses overlap
+    but share no observations yet, so covisibility-driven fusion can't see
+    the pair)."""
+    enabled = ms.kf_valid[kf_a] & ms.kf_valid[kf_b] & (kf_a != kf_b)
+    ms = _fuse_into(ms, kf_a, kf_b, enabled, cfg, radius_px=6.0)
+    ms = _fuse_into(ms, kf_b, kf_a, enabled, cfg, radius_px=6.0)
+    return ms
+
+
+@partial(jax.jit, static_argnames=("n_window",))
+def refresh_point_stats(ms: M.MapState, center_kf, n_window: int = 10):
+    """MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth for the
+    points observed by the center KF (/root/reference/src/MapPoint.cc): the
+    reference refreshes a point's representative descriptor (min median
+    Hamming among its observations) and viewing normal (mean unit direction
+    from observing KF centers) every time observations change; long-lived
+    points otherwise keep their birth descriptor and matching degrades as
+    the viewpoint drifts.
+
+    Batched over the center KF's keypoints x a covisibility window of
+    `n_window` observing KFs (the reference iterates all observations; the
+    window covers them in practice since distant KFs rarely still observe)."""
+    from geoflowslam_tpu.ops.matching import hamming_matrix
+
+    cov = M.covisibility(ms)
+    row = (cov[center_kf] * ms.kf_valid).at[center_kf].set(1 << 20)
+    _, kf_win = jax.lax.top_k(row, min(n_window, ms.k_max))  # center first
+
+    obs_c = ms.kf_obs_mp[center_kf]                      # [N] mp ids
+    has = (obs_c >= 0) & ms.kf_kp_valid[center_kf]
+    mp = jnp.maximum(obs_c, 0)
+    has = has & ms.mp_valid[mp]
+    n = obs_c.shape[0]
+
+    # invert each window KF's obs map: mp -> kp index
+    def kp_of(kf):
+        o = ms.kf_obs_mp[kf]
+        ok = (o >= 0) & ms.kf_kp_valid[kf]
+        inv = jnp.full((ms.m_max,), -1, jnp.int32)
+        return inv.at[jnp.where(ok, o, ms.m_max)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+    inv_all = jax.vmap(kp_of)(kf_win)                    # [W, M]
+    kp_idx = inv_all[:, mp]                              # [W, N]
+    seen = (kp_idx >= 0) & ms.kf_valid[kf_win][:, None]  # [W, N]
+
+    # --- distinctive descriptor: min median Hamming over observations -----
+    kp_safe = jnp.maximum(kp_idx, 0)
+    descs = ms.kf_desc[kf_win[:, None], kp_safe]         # [W, N, 8]
+    w = kf_win.shape[0]
+    dm = jax.vmap(lambda ds: hamming_matrix(ds, ds), in_axes=1)(descs)  # [N,W,W]
+    big = jnp.int32(1 << 10)
+    pair_ok = seen.T[:, :, None] & seen.T[:, None, :]    # [N, W, W]
+    dmm = jnp.where(pair_ok, dm, big)
+    # median over valid entries ~ sorted middle of the valid count
+    srt = jnp.sort(dmm, axis=2)                          # [N, W, W]
+    n_obs = jnp.sum(seen.T, axis=1)                      # [N]
+    mid = jnp.maximum(n_obs // 2, 1)[:, None]
+    med = jnp.take_along_axis(
+        srt, jnp.broadcast_to(mid[:, :, None], (n, w, 1)), axis=2)[:, :, 0]
+    med = jnp.where(seen.T, med, big)                    # [N, W]
+    best_w = jnp.argmin(med, axis=1)                     # [N]
+    new_desc = descs[best_w, jnp.arange(n)]              # [N, 8]
+
+    # --- viewing normal: mean unit direction from observing centers -------
+    centers = -jnp.einsum("wji,wj->wi", ms.kf_rot[kf_win], ms.kf_t[kf_win])
+    d = ms.mp_pos[mp][None, :, :] - centers[:, None, :]  # [W, N, 3]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+    nsum = jnp.sum(jnp.where(seen[:, :, None], d, 0.0), axis=0)
+    new_norm = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1,
+                                                  keepdims=True), 1e-6)
+
+    upd = has & (n_obs >= 2)
+    tgt = jnp.where(upd, mp, ms.m_max)
+    return ms._replace(
+        mp_desc=ms.mp_desc.at[tgt].set(new_desc, mode="drop"),
+        mp_normal=ms.mp_normal.at[tgt].set(new_norm, mode="drop"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +626,7 @@ def _triangulate_with(ms: M.MapState, center_kf, nb, cfg: MappingConfig,
     sel = jnp.zeros((n,), bool).at[order].set(True)
     make = good & sel
 
-    mp_slots = M.free_mp_slots(ms, n)
+    ms, mp_slots = M.free_mp_slots(ms, n, use_mask=make)
     new_ids = jnp.where(make, mp_slots, M.NO_MP)
 
     cam_c_w = tci

@@ -37,6 +37,79 @@ from geoflowslam_tpu.solvers import pose_graph as PG
 from geoflowslam_tpu.state import map_state as M
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("max_edges",))
+def _extract_essential_edges(ms: M.MapState, cur, cand, s, rot, t,
+                             covis_edge_min: float, max_edges: int):
+    """Essential-graph edge extraction on device (OptimizeEssentialGraph's
+    edge set, /root/reference/src/Optimizer.cc:2042): covisibility edges over
+    the threshold + the temporal chain, picked by one masked top-k over the
+    [K,K] covisibility matrix; the verified loop edge (i=cand, j=cur,
+    measured Sim3) occupies the last slot. Relative-pose measurements come
+    from the current (pre-correction) poses, batched."""
+    k = ms.k_max
+    cov = M.covisibility(ms).astype(jnp.float32)
+    valid2 = ms.kf_valid[:, None] & ms.kf_valid[None, :]
+    upper = jnp.triu(jnp.ones((k, k), bool), 1)
+    w = jnp.where((cov >= covis_edge_min) & upper & valid2,
+                  jnp.minimum(cov, 100.0) / 100.0, 0.0)
+    # temporal chain: edge (prev[j], j) with the reference's strong weight
+    prev = ms.kf_prev
+    t_ok = ms.kf_valid & (prev >= 0) & ms.kf_valid[jnp.maximum(prev, 0)]
+    w = w.at[jnp.where(t_ok, prev, 0), jnp.arange(k)].max(
+        jnp.where(t_ok, 1.0, 0.0))
+    vals, flat = jax.lax.top_k(w.reshape(-1), max_edges - 1)
+    ei = (flat // k).astype(jnp.int32)
+    ej = (flat % k).astype(jnp.int32)
+    ev = vals > 0.0
+    # measured S_ij = T_i T_j^-1 (unit scale) from current poses
+    ri, ti = ms.kf_rot[ei], ms.kf_t[ei]
+    rj, tj = ms.kf_rot[ej], ms.kf_t[ej]
+    r_rel = jnp.einsum("eab,ecb->eac", ri, rj)          # R_i R_j^T
+    t_rel = ti - jnp.einsum("eab,eb->ea", r_rel, tj)
+    # loop edge: p_cand_cam = s R p_cur_cam + t => S_cand<-cur = S_ij
+    ei = jnp.concatenate([ei, cand[None]])
+    ej = jnp.concatenate([ej, cur[None]])
+    ew = jnp.concatenate([vals, jnp.array([5.0])])
+    ev = jnp.concatenate([ev, jnp.array([True])])
+    srel = jnp.concatenate([jnp.ones((max_edges - 1,)), s[None]])
+    rrel = jnp.concatenate([r_rel, rot[None]], axis=0)
+    trel = jnp.concatenate([t_rel, t[None]], axis=0)
+    return PG.PoseGraphEdges(i=ei, j=ej, s=srel, rot=rrel, t=trel,
+                             weight=ew, valid=ev)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _count_projection_matches(ms: M.MapState, cur, cand, s, rot, t, cfg):
+    """Project the candidate KF's map points into the current KF's camera
+    through the verified camera-frame Sim3 (p_cand = s R p_cur + t, so
+    p_cur = R^T (p_cand - t) / s) and count descriptor matches near the
+    projections (FindMatchesByProjection essence)."""
+    obs = ms.kf_obs_mp[cand]
+    has = (obs >= 0) & ms.kf_kp_valid[cand]
+    mp = jnp.maximum(obs, 0)
+    has = has & ms.mp_valid[mp]
+    pts_w = ms.mp_pos[mp]
+    # candidate-camera coords, then through Sim3^-1 into cur-camera coords
+    p_cand = pts_w @ ms.kf_rot[cand].T + ms.kf_t[cand]
+    p_cur = (p_cand - t) @ rot / jnp.maximum(s, 1e-9)
+    z = jnp.where(jnp.abs(p_cur[:, 2]) < 1e-6, 1e-6, p_cur[:, 2])
+    u = cfg.fx * p_cur[:, 0] / z + cfg.cx
+    v = cfg.fy * p_cur[:, 1] / z + cfg.cy
+    inb = (p_cur[:, 2] > 0.1) & (u >= 0) & (u < 2 * cfg.cx) \
+        & (v >= 0) & (v < 2 * cfg.cy)
+    uv = jnp.stack([u, v], axis=1)
+    radius = jnp.full((obs.shape[0],), 8.0)
+    m_idx, m_dist = matching.search_by_projection(
+        uv, jnp.zeros_like(obs), has & inb, ms.mp_desc[mp],
+        ms.kf_uv[cur], ms.kf_level[cur], ms.kf_desc[cur],
+        ms.kf_kp_valid[cur], radius, max_dist=matching.TH_HIGH,
+        min_off=0, max_off=8)   # octave-free verification window
+    return jnp.sum(m_idx >= 0).astype(jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
     min_score: float = 0.05
@@ -45,8 +118,23 @@ class LoopConfig:
     covis_edge_min: int = 30       # essential-graph edge threshold
     max_edges: int = 512
     run_pose_graph: bool = True
-    run_global_ba: bool = False    # RunGlobalBundleAdjustment after loops
+    run_global_ba: bool = False    # synchronous GBA right after correction
+    # interleaved background GBA (RunGlobalBundleAdjustment as micro-steps
+    # driven by SlamSystem, abortable): default on — the reference always
+    # spawns its GBA thread after a loop
+    async_global_ba: bool = True
     use_icp_loop: bool = False     # UseICPLoop: GICP-refine the loop Sim3
+    # temporal consistency: the same candidate region must be re-detected on
+    # this many consecutive KFs before geometric verification is attempted
+    # (NewDetectCommonRegions' >=3 coincidences, LoopClosing.cc:353-627)
+    consistency_needed: int = 3
+    # guided-projection verification: minimum matches when projecting the
+    # candidate's map points into the current KF through the verified Sim3
+    # (FindMatchesByProjection gate, LoopClosing.cc:969)
+    min_proj_verify: int = 25
+    # post-correction duplicate welding + welding BA (SearchAndFuse :2224,
+    # MergeLocal welding BA :1307-1894)
+    run_weld: bool = True
 
 
 class LoopCloser:
@@ -65,6 +153,9 @@ class LoopCloser:
             map_cfg = MappingConfig()
         self._map_cfg = map_cfg
         self.mesh = mesh  # optional jax.sharding.Mesh: distributed global BA
+        # temporal-consistency groups: list of ([K] bool covisibility-group
+        # mask, consecutive-detection count) — ORB-SLAM's mvConsistentGroups
+        self._consistent_groups: list = []
 
     def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False,
                     kf_clouds: Optional[dict] = None):
@@ -84,10 +175,35 @@ class LoopCloser:
 
         best = int(cand_idx[0])
         if not bool(cand_ok[0]) or float(cand_score[0]) < self.cfg.min_score:
+            # no candidate this KF: consistency chains are broken
+            self._consistent_groups = []
+            return ms, False
+
+        # temporal consistency (NewDetectCommonRegions :353): the candidate's
+        # covisibility group must have been detected on `consistency_needed`
+        # consecutive KFs before we spend geometry on it — a single aliased
+        # view never reaches Sim3/correction.
+        group = np.array(M.covisibility(ms)[best] > 0)   # writable copy
+        group[best] = True
+        count = 1
+        for g_prev, c_prev in self._consistent_groups:
+            if bool(np.any(group & g_prev)):
+                count = max(count, c_prev + 1)
+        self._consistent_groups = [(group, count)]
+        if count < self.cfg.consistency_needed:
             return ms, False
 
         ok, s, rot, t, n_inl = self._verify_sim3(ms, kf_slot_i, best)
         if not ok:
+            return ms, False
+
+        # guided-projection verification (FindMatchesByProjection :969): the
+        # verified Sim3 must re-find the candidate's map points when they are
+        # projected into the current KF.
+        n_proj = int(_count_projection_matches(
+            ms, jnp.int32(kf_slot_i), jnp.int32(best), s, rot, t,
+            self._map_cfg))
+        if n_proj < self.cfg.min_proj_verify:
             return ms, False
 
         if (self.cfg.use_icp_loop and kf_clouds is not None
@@ -104,13 +220,37 @@ class LoopCloser:
 
         same_map = int(ms.kf_map_id[best]) == int(ms.kf_map_id[kf_slot_i])
         if not same_map:
-            # Atlas merge: weld the dormant map into the active one.
+            # Atlas merge: weld the active map into the candidate's map.
+            # The verified Sim3 is camera-frame (p_cand_cam = s R p_cur_cam
+            # + t); merge_maps applies a *world*-frame transform, so convert
+            # through both KFs' poses:  X' = R2^T(sR R1 X + sR t1 + t - t2)
+            # with (R1,t1)=Tcw(cur), (R2,t2)=Tcw(cand)  =>
+            # s_w = s, R_w = R2^T R R1, t_w = R2^T(s R t1 + t - t2).
+            r1, t1 = ms.kf_rot[kf_slot_i], ms.kf_t[kf_slot_i]
+            r2, t2 = ms.kf_rot[best], ms.kf_t[best]
+            r_w = r2.T @ rot @ r1
+            t_w = r2.T @ (s * (rot @ t1) + t - t2)
             ms = M.merge_maps(ms, ms.kf_map_id[kf_slot_i], ms.kf_map_id[best],
-                              s, rot, t)
+                              s, r_w, t_w)
             self.n_merges += 1
         if self.cfg.run_pose_graph:
             ms = self._correct_loop(ms, kf_slot_i, best, s, rot, t,
                                     yaw_only=inertial)
+        if self.cfg.run_weld:
+            # SearchAndFuse (:2224): weld duplicate landmarks across the
+            # corrected seam (cur <-> cand and cand's strongest covisible),
+            # then a welding local BA over the now-connected window
+            # (MergeLocal's welding BA essence).
+            from geoflowslam_tpu.pipeline import local_mapping as LMod
+            cov_b = M.covisibility(ms)[best]
+            nb_best = int(jnp.argmax(cov_b))
+            ms = LMod.fuse_pair(ms, jnp.int32(kf_slot_i), jnp.int32(best),
+                                self._map_cfg)
+            if int(cov_b[nb_best]) > 0 and nb_best != kf_slot_i:
+                ms = LMod.fuse_pair(ms, jnp.int32(kf_slot_i),
+                                    jnp.int32(nb_best), self._map_cfg)
+            ms, _ = LMod.local_ba_step(ms, jnp.int32(kf_slot_i),
+                                       self._map_cfg)
         if self.cfg.run_global_ba:
             # RunGlobalBundleAdjustment (LoopClosing.cc:2360): full-map BA
             # after the pose-graph correction (synchronous jitted step here
@@ -123,6 +263,7 @@ class LoopCloser:
                 from geoflowslam_tpu.pipeline.local_mapping import global_ba_step
                 ms = global_ba_step(ms, self._map_cfg)
         self.n_loops += 1
+        self._consistent_groups = []   # fresh chains after a correction
         return ms, True
 
     # ------------------------------------------------------------------
@@ -168,65 +309,15 @@ class LoopCloser:
         Graph: covisibility edges (weight = shared count, >= covis_edge_min)
         + temporal chain + the loop edge cur->cand with the measured Sim3.
         The loop (candidate-side) KF is held fixed; map points transform with
-        their reference KF's correction.
+        their reference KF's correction. Edge extraction is one jitted masked
+        top-k over the covisibility matrix (no O(K^2) host loop).
         """
         k_max = ms.k_max
-        cov = np.asarray(M.covisibility(ms))
-        kf_valid = np.asarray(ms.kf_valid)
-
-        edges_i, edges_j, ws = [], [], []
-        for i in range(k_max):
-            if not kf_valid[i]:
-                continue
-            for j in range(i + 1, k_max):
-                if kf_valid[j] and cov[i, j] >= self.cfg.covis_edge_min:
-                    edges_i.append(i); edges_j.append(j); ws.append(float(cov[i, j]))
-        prev = np.asarray(ms.kf_prev)
-        for i in range(k_max):
-            p = prev[i]
-            if kf_valid[i] and p >= 0 and kf_valid[p]:
-                edges_i.append(int(p)); edges_j.append(i); ws.append(100.0)
-
-        base_rot = ms.kf_rot
-        base_t = ms.kf_t
         base_s = jnp.ones((k_max,))
-
-        def rel_sim3(i, j):
-            """Measured S_ij = S_i S_j^-1 from current poses."""
-            ri, ti = base_rot[i], base_t[i]
-            rj, tj = base_rot[j], base_t[j]
-            rji, tji = lie.se3_inverse(rj, tj)
-            rr, tt = lie.se3_compose(ri, ti, rji, tji)
-            return 1.0, rr, tt
-
-        e = self.cfg.max_edges
-        n_e = len(edges_i)
-        if n_e == 0:
-            n_e = 1
-            edges_i, edges_j, ws = [cur], [cur], [0.0]
-        ei = np.zeros(e, np.int32); ej = np.zeros(e, np.int32)
-        ew = np.zeros(e, np.float32); ev = np.zeros(e, bool)
-        srel = np.ones(e, np.float32)
-        rrel = np.tile(np.eye(3, dtype=np.float32), (e, 1, 1))
-        trel = np.zeros((e, 3), np.float32)
-        for n in range(min(n_e, e - 1)):
-            i, j = edges_i[n], edges_j[n]
-            ei[n], ej[n], ew[n], ev[n] = i, j, min(ws[n], 100.0) / 100.0, True
-            _, rr, tt = rel_sim3(i, j)
-            rrel[n] = np.asarray(rr); trel[n] = np.asarray(tt)
-        # loop edge: measured S_cur_cand from the verified Sim3.
-        # Sim3 (s,R,t): p_cand_cam = s R p_cur_cam + t => S_cand<-cur; edge
-        # (i=cand, j=cur) measures S_ij = S_cand S_cur^-1 = the verified one.
-        n = min(n_e, e - 1)
-        ei[n], ej[n], ew[n], ev[n] = cand, cur, 5.0, True
-        srel[n] = float(s)
-        rrel[n] = np.asarray(rot)
-        trel[n] = np.asarray(t)
-
-        edges = PG.PoseGraphEdges(
-            i=jnp.asarray(ei), j=jnp.asarray(ej), s=jnp.asarray(srel),
-            rot=jnp.asarray(rrel), t=jnp.asarray(trel),
-            weight=jnp.asarray(ew), valid=jnp.asarray(ev))
+        base_rot, base_t = ms.kf_rot, ms.kf_t
+        edges = _extract_essential_edges(
+            ms, jnp.int32(cur), jnp.int32(cand), jnp.float32(s), rot, t,
+            float(self.cfg.covis_edge_min), self.cfg.max_edges)
 
         fixed = jnp.zeros((k_max,), bool).at[cand].set(True)
         # inertial maps: 4DoF yaw-only correction (gravity pins roll/pitch,

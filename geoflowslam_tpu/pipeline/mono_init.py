@@ -43,31 +43,73 @@ def _decompose_essential(e_mat):
     return (r1, t), (r1, -t), (r2, t), (r2, -t)
 
 
+def _decompose_homography(a_mat):
+    """Calibrated homography A = K^-1 H K -> 8 (R, t) motion hypotheses
+    (Faugeras SVD method, TwoViewReconstruction::ReconstructH,
+    /root/reference/src/TwoViewReconstruction.cc)."""
+    u, d, vt = jnp.linalg.svd(a_mat)
+    s = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    eps = 1e-9
+    x1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2)
+                              / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    x3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3)
+                              / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    out = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            # case d' = +d2
+            st = (d1 - d3) * (e1 * x1) * (e3 * x3) / jnp.maximum(d2, eps)
+            ct = (d1 * x3 * x3 + d3 * x1 * x1) / jnp.maximum(d2, eps)
+            rp = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+            rp = rp.at[0, 0].set(ct).at[0, 2].set(-st)
+            rp = rp.at[2, 0].set(st).at[2, 2].set(ct)
+            tp = jnp.array([1.0, 0.0, -1.0]) * jnp.array(
+                [e1 * x1, 0.0, e3 * x3]) * (d1 - d3)
+            rot = s * u @ rp @ vt
+            t = u @ tp
+            out.append((rot, t / jnp.maximum(jnp.linalg.norm(t), eps)))
+            # case d' = -d2
+            sp = (d1 + d3) * (e1 * x1) * (e3 * x3) / jnp.maximum(d2, eps)
+            cp = (d3 * x1 * x1 - d1 * x3 * x3) / jnp.maximum(d2, eps)
+            rp2 = jnp.zeros((3, 3))
+            rp2 = rp2.at[0, 0].set(cp).at[0, 2].set(sp)
+            rp2 = rp2.at[1, 1].set(-1.0)
+            rp2 = rp2.at[2, 0].set(sp).at[2, 2].set(-cp)
+            tp2 = jnp.array([e1 * x1, 0.0, e3 * x3]) * (d1 + d3)
+            rot2 = s * u @ rp2 @ vt
+            t2 = u @ tp2
+            out.append((rot2, t2 / jnp.maximum(jnp.linalg.norm(t2), eps)))
+    return out
+
+
 def two_view_reconstruct(key, uv1, uv2, valid, fx, fy, cx, cy,
                          n_hyp: int = 128, sigma: float = 1.0):
-    """H/F model selection + motion recovery + triangulation.
+    """H/F model selection + motion recovery + triangulation
+    (TwoViewReconstruction::Reconstruct: ratio SH/(SH+SF) > 0.5 -> the
+    8-hypothesis homography decomposition, otherwise the 4-hypothesis
+    essential decomposition).
 
     Returns MonoInitResult with pts in cam1 frame, |t| normalized to 1.
     """
     kf, kh = jax.random.split(key)
     res_f = ransac.ransac_fundamental(kf, uv1, uv2, valid, n_hyp, sigma=sigma)
     res_h = ransac.ransac_homography(kh, uv1, uv2, valid, n_hyp, sigma=sigma)
-    # model selection (reference: SH/(SH+SF) > 0.4 -> H); we only implement
-    # the F path for motion (H-dominant scenes recover via E from inliers
-    # too when parallax exists; pure-rotation scenes fail init, as in the
-    # reference which simply retries with the next frame pair).
-    use_f = res_h.score / jnp.maximum(res_h.score + res_f.score, 1e-9) <= 0.55
+    # RH > 0.50 -> homography (TwoViewReconstruction.cc:119; the 0.40 in the
+    # paper is commented out in the reference)
+    use_h = res_h.score / jnp.maximum(res_h.score + res_f.score, 1e-9) > 0.50
 
     k_mat = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     k_inv = jnp.linalg.inv(k_mat)
     e_mat = k_mat.T @ res_f.model @ k_mat
-    cands = _decompose_essential(e_mat)
+    cands_f = list(_decompose_essential(e_mat))
+    a_mat = k_inv @ res_h.model @ k_mat
+    cands_h = _decompose_homography(a_mat)
 
     rays1 = (jnp.concatenate([uv1, jnp.ones((uv1.shape[0], 1))], 1) @ k_inv.T)
     rays2 = (jnp.concatenate([uv2, jnp.ones((uv2.shape[0], 1))], 1) @ k_inv.T)
-    inl = res_f.inliers
 
-    def score_candidate(rt):
+    def score_candidate(rt, inl):
         rot, t = rt
         pts, tri_ok = triangulate.triangulate_points(rays1, rays2, rot, t)
         good = tri_ok & inl
@@ -80,25 +122,32 @@ def two_view_reconstruct(key, uv1, uv2, valid, fx, fy, cx, cy,
         good = good & (e1 < 4.0 * sigma) & (e2 < 4.0 * sigma)
         return jnp.sum(good), pts, good
 
-    scores = []
-    all_pts, all_good = [], []
-    for rt in cands:
-        n, pts, good = score_candidate(rt)
-        scores.append(n)
-        all_pts.append(pts)
-        all_good.append(good)
-    scores = jnp.stack(scores)
-    best = jnp.argmax(scores)
-    n_best = scores[best]
-    n_second = jnp.sort(scores)[-2]
-    # reference gates: enough points and clear winner
-    ok = use_f & (n_best > 50) & (n_second < 0.75 * n_best)
+    def pick_best(cands, inl):
+        scores, all_pts, all_good = [], [], []
+        for rt in cands:
+            n, pts, good = score_candidate(rt, inl)
+            scores.append(n)
+            all_pts.append(pts)
+            all_good.append(good)
+        scores = jnp.stack(scores)
+        best = jnp.argmax(scores)
+        n_best = scores[best]
+        n_second = jnp.sort(scores)[-2]
+        # reference gates: enough points and a clear winner
+        ok = (n_best > 50) & (n_second < 0.75 * n_best)
+        rots = jnp.stack([c[0] for c in cands])
+        ts = jnp.stack([c[1] for c in cands])
+        return ok, rots[best], ts[best], jnp.stack(all_pts)[best], \
+            jnp.stack(all_good)[best]
 
-    rots = jnp.stack([c[0] for c in cands])
-    ts = jnp.stack([c[1] for c in cands])
-    pts = jnp.stack(all_pts)[best]
-    good = jnp.stack(all_good)[best]
-    return ok, rots[best], ts[best], pts, good
+    ok_f, rot_f, t_f, pts_f, good_f = pick_best(cands_f, res_f.inliers)
+    ok_h, rot_h, t_h, pts_h, good_h = pick_best(cands_h, res_h.inliers)
+    ok = jnp.where(use_h, ok_h, ok_f)
+    rot = jnp.where(use_h, rot_h, rot_f)
+    t = jnp.where(use_h, t_h, t_f)
+    pts = jnp.where(use_h, pts_h, pts_f)
+    good = jnp.where(use_h, good_h, good_f)
+    return ok, rot, t, pts, good
 
 
 def try_monocular_init(key, frame1: FrameData, frame2: FrameData,
@@ -144,8 +193,8 @@ def create_initial_map_mono(ms: M.MapState, frame1: FrameData,
     n = f1.capacity
     slot1 = M.free_kf_slot(ms)
     # temporary insert so slot2 differs
-    mp_slots = M.free_mp_slots(ms, n)
     make = init.pt_valid & (init.match_idx >= 0)
+    ms, mp_slots = M.free_mp_slots(ms, n, use_mask=make)
     ids = jnp.where(make, mp_slots, M.NO_MP)
 
     obs1 = ids

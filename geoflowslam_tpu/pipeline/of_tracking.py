@@ -143,8 +143,21 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
     obs_extra = obs_extra.at[slot_idx].set(
         jnp.where(src_ok3, last_obs_mp[order], M.NO_MP))
 
-    # depth for appended slots (from the current depth image surrogate:
-    # nearest-cloud unavailable here; mark mono). The KF-creation path
-    # re-extracts ORB with depth anyway (Frame::AddFeatures analogue).
+    # depth for appended slots: sample the retained depth image at the
+    # tracked position (Frame::AddPts, /root/reference/src/Frame.cc:625-674),
+    # making OF points full stereo observations instead of mono-only.
     cur2 = cur_frame._replace(feat=feat)
+    if cur_frame.depth_img is not None:
+        dimg = cur_frame.depth_img
+        hh, ww = dimg.shape
+        xi = jnp.clip(jnp.round(new_uv[:, 0]).astype(jnp.int32), 0, ww - 1)
+        yi = jnp.clip(jnp.round(new_uv[:, 1]).astype(jnp.int32), 0, hh - 1)
+        d_of = dimg[yi, xi]
+        d_of = jnp.where(any_ok & (d_of > 0), d_of, -1.0)
+        ur_of = jnp.where(d_of > 0,
+                          new_uv[:, 0] - cfg.bf / jnp.maximum(d_of, 1e-6),
+                          -1.0)
+        cur2 = cur2._replace(
+            depth_kp=cur2.depth_kp.at[slot_idx].set(d_of),
+            u_right=cur2.u_right.at[slot_idx].set(ur_of))
     return cur2, obs_extra, jnp.sum(src_ok3), jnp.sum(src_ok2 & any_ok)

@@ -52,8 +52,11 @@ class SystemConfig:
     cy: float = 240.0
     bf: float = 40.0
     frame: FrameConfig = FrameConfig()
-    k_max: int = 32
-    m_max: int = 8192
+    # Production capacities: 256 KFs x 64k points survives multi-minute
+    # sequences at the 0.5 s inertial KF cadence with culling headroom
+    # (the reference's maps run at hundreds of KFs, LocalMapping.cc:1302).
+    k_max: int = 256
+    m_max: int = 65536
     # KF policy (NeedNewKeyFrame analogues)
     kf_min_interval: int = 3
     kf_max_interval: int = 15
@@ -73,6 +76,10 @@ class SystemConfig:
     use_lidar: bool = False             # UsePointCloudObs (point-to-plane)
     use_gms_init: bool = False          # UseGMSInit (GMS verification)
     min_kfs_for_new_map: int = 10       # CreateMapInAtlas gate (Tracking.cc:2271)
+    insert_kfs_when_lost: bool = True   # InsertKFsWhenLost (Tracking.cc:2597)
+    r_odom_cam: Optional[tuple] = None  # T_odom_w: odom->camera rotation
+                                        # (Settings::getRodom2cam, 3x3 row-major)
+    max_frame_gap: float = 1.0          # timestamp-jump reset (Tracking.cc:2066)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -91,6 +98,11 @@ class SlamSystem:
     """RGB-D (mono support via pipeline/mono_init) SLAM system."""
 
     def __init__(self, cfg: SystemConfig, vocab=None, mesh=None):
+        if cfg.use_lidar and not cfg.frame.lidar_features:
+            # point-to-plane factors want the selective edge/surf cloud
+            # (Frame.cc:374-394 runs LaserProcessing when useLidarObs)
+            cfg = dataclasses.replace(
+                cfg, frame=dataclasses.replace(cfg.frame, lidar_features=True))
         self.cfg = cfg
         self.tcfg = cfg.track_cfg()
         self.mcfg = cfg.map_cfg()
@@ -107,6 +119,12 @@ class SlamSystem:
         self.ref_kf_inliers: int = 0
         self.frames_since_kf = 0
         self.last_time = 0.0
+        # Device-side kf_time is f32 *offset* seconds from this host-held f64
+        # base (set at the first frame). Drivers feed raw epoch stamps
+        # (~1.4e9 s, f32 ulp = 128 s) — storing them directly would collapse
+        # every device-side time gate (KF-culling protection, loop-candidate
+        # recency, IMU-init span) to zero.
+        self.time_base: Optional[float] = None
         self.lost_since: Optional[float] = None
         self.n_frames = 0
         self.n_lost = 0
@@ -129,6 +147,7 @@ class SlamSystem:
         self._pending_init_frame = None   # mono init: (frame, time)
         self._init_key = jax.random.PRNGKey(1234)
         self._odom_vel = None
+        self._odom_queue = []
         self._icp_prior = None
         self.last_frame = None
         if cfg.use_lidar:
@@ -140,6 +159,14 @@ class SlamSystem:
             self.lidar_map = None
         self._kf_clouds = {}     # slot -> (cloud, valid) for EdgeICP factors
         self._kf_icp_rel = {}    # slot -> (rot, t): T_cw[slot] ∘ T_cw[prev]^-1
+        # local-window cache: recomputed once per map mutation, not per frame
+        self._local_masks = None
+        self._last_levels = None   # last frame's keypoint octaves
+        # interleaved background global BA (LoopClosing's detached GBA
+        # thread re-expressed as per-frame micro-steps, local_mapping.AsyncGBA)
+        self._gba = LM.AsyncGBA(self.mcfg) if cfg.loop is not None else None
+        self._local_window_fn = jax.jit(
+            lambda ms, ref: M.local_window(ms, ref, self.tcfg.local_window))
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
@@ -187,15 +214,65 @@ class SlamSystem:
 
     # -- internals ---------------------------------------------------------
 
+    def _t_rel(self, timestamp: float) -> float:
+        """Offset seconds from the session time base (f64 host subtraction;
+        the result is small enough for exact f32 device storage)."""
+        if self.time_base is None:
+            self.time_base = float(timestamp)
+        return float(timestamp) - self.time_base
+
     def _track(self, frame: FrameData, timestamp: float):
+        self._t_rel(timestamp)  # pin the base at the first frame
+        # runtime guards (Tracking::Track :2053-2095): non-monotonic stamps
+        # reset the active map; a large gap with an IMU either resets (not
+        # yet initialized) or starts a fresh Atlas map (chain is broken).
+        if self.n_frames > 0 and self.state != TrackingState.NOT_INITIALIZED:
+            if timestamp < self.last_time:
+                from geoflowslam_tpu.utils.verbose import warn
+                warn("Frame timestamp older than previous frame — "
+                     "resetting active map")
+                self.reset_active_map()
+            elif (self.imu is not None
+                  and timestamp - self.last_time > self.cfg.max_frame_gap):
+                from geoflowslam_tpu.utils.verbose import warn
+                warn(f"timestamp jump of {timestamp - self.last_time:.2f}s "
+                     "with IMU — map recovery")
+                if self.imu.initialized:
+                    self._reset_or_new_map(frame, timestamp)
+                else:
+                    self.reset_active_map()
         with self.timers.time("Track_total"):
             if self.state == TrackingState.NOT_INITIALIZED:
                 self._initialize(frame, timestamp)
             else:
                 self._track_frame(frame, timestamp)
 
+        # background GBA micro-step: one GN iteration per frame, bounded
+        # latency; on completion write back with correction propagation
+        if self._gba is not None and self._gba.active:
+            if self._gba.step():
+                r_ref_old = self.ms.kf_rot[self.ref_kf]
+                t_ref_old = self.ms.kf_t[self.ref_kf]
+                self.ms = self._gba.finish(self.ms)
+                # the map moved under us: carry the reference KF's correction
+                # onto the current frame pose (Tracking's mbMapUpdated path):
+                # T_cur' = T_cur ∘ T_ref_old^-1 ∘ T_ref_new
+                if self.state == TrackingState.OK:
+                    ri, ti = lie.se3_inverse(r_ref_old, t_ref_old)
+                    dr, dt_ = lie.se3_compose(
+                        ri, ti, self.ms.kf_rot[self.ref_kf],
+                        self.ms.kf_t[self.ref_kf])
+                    self.cur_rot, self.cur_t = lie.se3_compose(
+                        self.cur_rot, self.cur_t, dr, dt_)
+                    self.has_vel = False
+                    if self.imu is not None and self.imu.body is not None:
+                        self.imu.body = self.imu.body_from_cam(
+                            self.cur_rot, self.cur_t, v=self.imu.body.v)
+                self._local_masks = None
+
         self.last_time = timestamp
         self.n_frames += 1
+        self._last_levels = frame.feat.level
         if self.cfg.use_of or self.cfg.use_icp:
             self.last_frame = frame
         self._record_pose(timestamp)
@@ -205,7 +282,7 @@ class SlamSystem:
         if self.cfg.sensor == "mono":
             return self._initialize_mono(frame, timestamp)
         ms, kf_slot, res = T.stereo_initialization(
-            self.ms, frame, jnp.float32(timestamp), self.tcfg)
+            self.ms, frame, jnp.float32(self._t_rel(timestamp)), self.tcfg)
         n = int(res.n_inliers)
         if n < 50:
             return  # not enough depth points; wait for a better frame
@@ -215,6 +292,7 @@ class SlamSystem:
         self.ref_kf = int(kf_slot)
         self.ref_kf_inliers = n
         self.frames_since_kf = 0
+        self._last_kf_time = timestamp
         self.state = TrackingState.OK
         if self.imu is not None:
             self.imu.pending = None  # first KF: no predecessor segment
@@ -241,7 +319,8 @@ class SlamSystem:
                 self._pending_init_frame = (frame, timestamp)
             return
         ms, s1, s2, obs2, n_pts = MI.create_initial_map_mono(
-            self.ms, f1, frame, init, jnp.float32(t1), jnp.float32(timestamp),
+            self.ms, f1, frame, init, jnp.float32(self._t_rel(t1)),
+            jnp.float32(self._t_rel(timestamp)),
             self.cfg.frame.orb.scale_factor, self.cfg.frame.orb.n_levels)
         self.ms = ms
         self.cur_rot, self.cur_t = init.rot21, init.t21
@@ -249,6 +328,7 @@ class SlamSystem:
         self.ref_kf = int(s2)
         self.ref_kf_inliers = int(n_pts)
         self.frames_since_kf = 0
+        self._last_kf_time = timestamp
         self.state = TrackingState.OK
         self._pending_init_frame = None
         if self.imu is not None:
@@ -279,11 +359,20 @@ class SlamSystem:
         # legged-odometry prediction (PredictStateOdom, src/Tracking.cc:1832):
         # base velocity overrides the translation part of the prediction when
         # provided and no IMU is initialized.
-        if (self.cfg.use_odom and self._odom_vel is not None
+        if (self.cfg.use_odom and self._odom_queue
                 and not (self.imu is not None and self.imu.initialized)):
             dt = max(timestamp - self.last_time, 0.0)
+            cam_v = [v for f, v in self._odom_queue if f == "cam"]
+            wld_v = [v for f, v in self._odom_queue if f == "world"]
+            self._odom_queue = []
             rwc, twc = lie.se3_inverse(self.cur_rot, self.cur_t)
-            twc_pred = twc + jnp.asarray(self._odom_vel) * dt
+            # camera-frame samples: twc' = twc + Rwc_last @ (v_cam * dt)
+            dpos = jnp.zeros(3)
+            if cam_v:
+                dpos = dpos + rwc @ (jnp.asarray(np.mean(cam_v, axis=0)) * dt)
+            if wld_v:
+                dpos = dpos + jnp.asarray(np.mean(wld_v, axis=0)) * dt
+            twc_pred = twc + dpos
             pr2, pt2 = lie.se3_inverse(pr, pt)   # keep predicted rotation
             pr, pt = lie.se3_inverse(pr2, twc_pred)
 
@@ -309,21 +398,35 @@ class SlamSystem:
 
         res = T.track_with_motion_model(
             self.ms, frame, self.last_obs_mp, pr, pt, self.tcfg,
-            extra_obs=extra_obs)
+            extra_obs=extra_obs, last_levels=self._last_levels)
         n1 = int(res.n_inliers)
         if n1 < self.cfg.min_inliers_ok:
-            # fallback: search wider from the unpredicted pose
-            # (TrackReferenceKeyFrame analogue without BoW: projection search
-            # from the last pose with a larger radius)
+            # fallback 1: search wider from the unpredicted pose
             wide = dataclasses.replace(self.tcfg, search_radius_mm=40.0)
             res = T.track_with_motion_model(
-                self.ms, frame, self.last_obs_mp, last_rot, last_t, wide)
+                self.ms, frame, self.last_obs_mp, last_rot, last_t, wide,
+                last_levels=self._last_levels)
+            n1 = int(res.n_inliers)
+        if n1 < self.cfg.min_inliers_ok and self.vocab is not None:
+            # fallback 2: BoW-gated matching against the reference KF
+            # (TrackReferenceKeyFrame, src/Tracking.cc:3106)
+            from geoflowslam_tpu.retrieval import vocab as Vv
+            wf = Vv.descend(self.vocab, frame.feat.desc, frame.feat.valid)
+            wk = Vv.descend(self.vocab, self.ms.kf_desc[self.ref_kf],
+                            self.ms.kf_kp_valid[self.ref_kf])
+            res = T.track_reference_keyframe(
+                self.ms, frame, wf, wk, jnp.int32(self.ref_kf),
+                last_rot, last_t, self.tcfg)
             n1 = int(res.n_inliers)
 
         if n1 >= self.cfg.min_inliers_ok:
+            if self._local_masks is None:
+                self._local_masks = self._local_window_fn(
+                    self.ms, jnp.int32(self.ref_kf))
             self.ms, res2 = T.track_local_map(
                 self.ms, frame, res.obs_mp, res.rot, res.t,
-                jnp.int32(self.ref_kf), self.tcfg)
+                jnp.int32(self.ref_kf), self.tcfg,
+                local_masks=self._local_masks)
             n2 = int(res2.n_inliers)
         else:
             res2, n2 = res, n1
@@ -374,7 +477,19 @@ class SlamSystem:
             if self.state == TrackingState.OK:
                 self.state = TrackingState.RECENTLY_LOST
                 self.lost_since = timestamp
-            elif self.state == TrackingState.RECENTLY_LOST:
+            if (self.state == TrackingState.RECENTLY_LOST
+                    and self.cfg.insert_kfs_when_lost
+                    and self.imu is not None and self.imu.initialized
+                    and timestamp - self._last_kf_time >= 0.5):
+                # InsertKFsWhenLost (src/Tracking.cc:2597): keep inserting
+                # KFs from the IMU-predicted pose so the inertial chain and
+                # depth-created points bridge the visual gap
+                self.cur_rot, self.cur_t = pr, pt
+                if self.imu.body is not None:
+                    self.imu.body = self.imu.body_from_cam(pr, pt)
+                self._insert_keyframe(frame, timestamp, T.TrackResult(
+                    pr, pt, res2.obs_mp, res2.n_inliers))
+            if self.state == TrackingState.RECENTLY_LOST:
                 if self._relocalize(frame):
                     self.state = TrackingState.OK
                     self.lost_since = None
@@ -420,8 +535,10 @@ class SlamSystem:
                                 focal=self.cfg.fx)
             if int(res.n_inliers) < 10:
                 continue
-            rot0 = res.model[:, :3]
-            t0 = res.model[:, 3]
+            # ML bearing-vector refinement of the RANSAC hypothesis
+            # (MLPnPsolver::mlpnp_gn parity, src/Tracking.cc:4586-4593)
+            rot0, t0 = RS.refine_pnp_ml(
+                res.model[:, :3], res.model[:, 3], pts, uvn, res.inliers)
             obs_mp = jnp.where(valid, mp, M.NO_MP)
             rot, t, obs2, n_inl = T._pose_opt_from_obs(
                 self.ms, frame, obs_mp, rot0, t0, self.tcfg)
@@ -434,9 +551,22 @@ class SlamSystem:
                 return True
         return False
 
-    def set_odom(self, vel_world):
-        """Tracking::GrabOdomData analogue: world-frame base velocity."""
-        self._odom_vel = vel_world
+    def set_odom(self, vel, odom_frame: bool = True):
+        """Tracking::GrabOdomData: queue a base-velocity sample. With
+        `odom_frame` (default, the reference semantics) the sample is in the
+        robot's odometry frame and is rotated into the camera frame with the
+        configured T_odom_w before use (PredictStateOdom,
+        /root/reference/src/Tracking.cc:1832-1874 + Settings.cc:517); pass
+        odom_frame=False for an already-world-frame velocity."""
+        v = np.asarray(vel, np.float32)
+        if odom_frame and self.cfg.r_odom_cam is not None:
+            r = np.asarray(self.cfg.r_odom_cam, np.float32).reshape(3, 3)
+            self._odom_queue.append(("cam", r @ v))
+        elif odom_frame:
+            self._odom_queue.append(("cam", v))   # identity R_odom2cam
+        else:
+            self._odom_queue.append(("world", v))
+        self._odom_vel = v  # legacy flag: odometry available
 
     def _icp_predict(self, frame: FrameData, pred_rot, pred_t):
         """GICP/NDT registration of the depth clouds as a pose predictor.
@@ -602,11 +732,51 @@ class SlamSystem:
             return True
         return n_inliers < self.cfg.kf_tracked_ratio * ref
 
+    def _on_kf_culled(self, culled_i: int):
+        """Bookkeeping after a KF cull: retrieval DB + IMU segment merge."""
+        if self.loop_closer is not None:
+            from geoflowslam_tpu.retrieval import kf_database as DBD
+            self.loop_closer.db = DBD.erase_keyframe(
+                self.loop_closer.db, culled_i)
+        if self.imu is not None and culled_i in self.imu.kf_preints:
+            order = self.imu.kf_order
+            if culled_i in order:
+                pos = order.index(culled_i)
+                if pos + 1 < len(order):
+                    nxt = order[pos + 1]
+                    if nxt in self.imu.kf_preints:
+                        self.imu.kf_preints[nxt] = self.imu.merge_segments(
+                            self.imu.kf_preints[culled_i],
+                            self.imu.kf_preints[nxt])
+                order.remove(culled_i)
+                self.imu.kf_preints.pop(culled_i, None)
+
+    def _ensure_kf_capacity(self):
+        """Refuse to silently evict live active-map KFs: when all slots are
+        live+active, force an aggressive redundancy cull; if that fails too,
+        error with guidance (free_kf_slot never evicts active-map KFs)."""
+        if int(M.kf_capacity_left(self.ms)) > 0:
+            return
+        ms, culled = LM.keyframe_culling(
+            self.ms, jnp.int32(self.ref_kf), protect_recent=0.25,
+            redundancy=0.6)
+        culled_i = int(culled)
+        if culled_i >= 0:
+            self.ms = ms
+            self._on_kf_culled(culled_i)
+        if int(M.kf_capacity_left(self.ms)) == 0:
+            raise RuntimeError(
+                f"KeyFrame capacity exhausted: all {self.ms.k_max} slots hold "
+                "live KFs of the active map and none is redundant enough to "
+                "cull. Raise SystemConfig.k_max for this sequence length.")
+
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
         _t_kf = __import__("time").perf_counter()
+        self._ensure_kf_capacity()
         ms, kf_slot, n_new = T.create_keyframe(
-            self.ms, frame, res.rot, res.t, jnp.float32(timestamp),
+            self.ms, frame, res.rot, res.t,
+            jnp.float32(self._t_rel(timestamp)),
             res.obs_mp, jnp.int32(self.ref_kf), self.tcfg)
         self.ms = ms
         self.ref_kf = int(kf_slot)
@@ -657,6 +827,22 @@ class SlamSystem:
             # covisible neighbour (RGB-D creates points from depth instead)
             self.ms, _ = LM.triangulate_new_points(
                 self.ms, jnp.int32(kf_slot), self.mcfg)
+            # ScaleRefinement cadence (LocalMapping.cc:2446): periodically
+            # re-pin the monocular metric scale against the IMU
+            if (self.imu is not None and self.imu.initialized
+                    and self.imu.init_time is not None
+                    and timestamp - self.imu.init_time > 5.0
+                    and timestamp - getattr(self, "_last_scale_ref", -1e18)
+                    > 10.0):
+                self._last_scale_ref = timestamp
+                self.ms = self.imu.scale_refinement(self.ms)
+                self.cur_rot = self.ms.kf_rot[kf_slot]
+                self.cur_t = self.ms.kf_t[kf_slot]
+                self.has_vel = False
+                if self.imu.body is not None:
+                    self.imu.body = self.imu.body_from_cam(
+                        self.cur_rot, self.cur_t,
+                        v=self.ms.kf_vel[kf_slot])
         _t_ba = __import__("time").perf_counter()
         self.timers.add("New_KF", (_t_ba - _t_kf) * 1000)
         if self.cfg.local_ba_every_kf:
@@ -719,29 +905,16 @@ class SlamSystem:
         with self.timers.time("MP_creation"):
             # SearchInNeighbors: fuse duplicate landmarks around the new KF
             self.ms = LM.fuse_duplicates(self.ms, jnp.int32(kf_slot), self.mcfg)
+            # refresh distinctive descriptors + normals of the touched points
+            # (ComputeDistinctiveDescriptors / UpdateNormalAndDepth parity)
+            self.ms = LM.refresh_point_stats(self.ms, jnp.int32(kf_slot))
         with self.timers.time("MP_culling"):
             self.ms = LM.cull_step(self.ms)
         with self.timers.time("KF_culling"):
             self.ms, culled = LM.keyframe_culling(self.ms, jnp.int32(kf_slot))
             culled_i = int(culled)
             if culled_i >= 0:
-                if self.loop_closer is not None:
-                    from geoflowslam_tpu.retrieval import kf_database as DBD
-                    self.loop_closer.db = DBD.erase_keyframe(
-                        self.loop_closer.db, culled_i)
-                if self.imu is not None and culled_i in self.imu.kf_preints:
-                    # merge the culled KF's segment into its successor
-                    order = self.imu.kf_order
-                    if culled_i in order:
-                        pos = order.index(culled_i)
-                        if pos + 1 < len(order):
-                            nxt = order[pos + 1]
-                            if nxt in self.imu.kf_preints:
-                                self.imu.kf_preints[nxt] = self.imu.merge_segments(
-                                    self.imu.kf_preints[culled_i],
-                                    self.imu.kf_preints[nxt])
-                        order.remove(culled_i)
-                        self.imu.kf_preints.pop(culled_i, None)
+                self._on_kf_culled(culled_i)
         if self.cfg.use_lidar and self.lidar_map is not None:
             from geoflowslam_tpu.pipeline import lidar_mapping as LD
             oldest = max(int(kf_slot) - self._lidar_cfg.window_kfs, 0)
@@ -764,11 +937,19 @@ class SlamSystem:
                 if self.imu is not None and self.imu.body is not None:
                     self.imu.body = self.imu.body_from_cam(
                         self.cur_rot, self.cur_t, v=self.imu.body.v)
+                if (self._gba is not None
+                        and self.cfg.loop.async_global_ba):
+                    # a new loop aborts any running GBA and starts afresh
+                    # (mbStopGBA, LoopClosing.cc:2360)
+                    self._gba.abort()
+                    self._gba.start(self.ms)
         # refresh last_obs after culling: drop dead references
         mp_valid = self.ms.mp_valid
         obs = self.ms.kf_obs_mp[kf_slot]
         self.last_obs_mp = jnp.where(
             (obs >= 0) & mp_valid[jnp.maximum(obs, 0)], obs, M.NO_MP)
+        # map topology changed: recompute the local window lazily next frame
+        self._local_masks = None
 
     def _reset_or_new_map(self, frame: FrameData, timestamp: float):
         """Atlas recovery: start a new map (Tracking::CreateMapInAtlas)."""
@@ -780,6 +961,7 @@ class SlamSystem:
         self.has_vel = False
         self.last_obs_mp = None
         self._vi_prior = None
+        self._local_masks = None
 
     # -- output ------------------------------------------------------------
 
@@ -810,6 +992,7 @@ class SlamSystem:
         self.has_vel = False
         self.last_obs_mp = None
         self._vi_prior = None
+        self._local_masks = None
         self._pending_init_frame = None
         if self.imu is not None:
             self.imu = InertialTracker(self.cfg.imu)
@@ -822,6 +1005,7 @@ class SlamSystem:
         self.has_vel = False
         self.last_obs_mp = None
         self._vi_prior = None
+        self._local_masks = None
         self._pending_init_frame = None
 
     def save_atlas(self, path: str):
@@ -829,7 +1013,8 @@ class SlamSystem:
         from geoflowslam_tpu.state.serialize import save_atlas
         save_atlas(path, self.ms, self.vocab,
                    extra={"sensor": self.cfg.sensor,
-                          "n_frames": self.n_frames})
+                          "n_frames": self.n_frames,
+                          "time_base": self.time_base or 0.0})
 
     def load_atlas(self, path: str):
         """System::LoadAtlas: restore the map; a new active map is created
@@ -838,6 +1023,9 @@ class SlamSystem:
         self.ms, extra = load_atlas(path, self.vocab)
         self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED
+        tb = extra.get("time_base")
+        if tb is not None:
+            self.time_base = float(tb)
         return extra
 
     def shutdown(self, save_dir: Optional[str] = None):
@@ -858,8 +1046,9 @@ class SlamSystem:
         save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"),
                             self.trajectory)
         from geoflowslam_tpu.io.trajectory import keyframe_trajectory
-        save_trajectory_tum(os.path.join(save_dir, "KeyFrameTrajectory.txt"),
-                            keyframe_trajectory(self.ms))
+        save_trajectory_tum(
+            os.path.join(save_dir, "KeyFrameTrajectory.txt"),
+            keyframe_trajectory(self.ms, time_base=self.time_base or 0.0))
 
     def map_stats(self):
         return {

@@ -101,7 +101,7 @@ def stereo_initialization(ms: M.MapState, frame: FrameData, time,
     pos = jnp.stack([x, y, z], axis=1)
 
     kf_slot = M.free_kf_slot(ms)
-    mp_slots = M.free_mp_slots(ms, n)
+    ms, mp_slots = M.free_mp_slots(ms, n, use_mask=make)
     obs_mp = jnp.where(make, mp_slots, M.NO_MP)
 
     norm = -pos / jnp.maximum(jnp.linalg.norm(pos, axis=1, keepdims=True), 1e-6)
@@ -128,10 +128,15 @@ def stereo_initialization(ms: M.MapState, frame: FrameData, time,
 def track_with_motion_model(ms: M.MapState, frame: FrameData,
                             last_obs_mp: jnp.ndarray,
                             pred_rot, pred_t, cfg: TrackConfig,
-                            extra_obs: jnp.ndarray | None = None):
+                            extra_obs: jnp.ndarray | None = None,
+                            last_levels: jnp.ndarray | None = None):
     """Project last frame's map points at the predicted pose and match
     against the current frame, then pose-only GN. `extra_obs` [N] carries
-    pre-bound map-point ids (the OF dual-stream appends, of_tracking.py)."""
+    pre-bound map-point ids (the OF dual-stream appends, of_tracking.py).
+    `last_levels` [N] are the last frame's keypoint octaves: the search
+    radius is octave-scaled and the octave window centred on them
+    (SearchByProjection, /root/reference/src/ORBmatcher.cc:1853+:
+    radius = th * mvScaleFactors[nLastOctave], levels [oct-1, oct+1])."""
     feat = frame.feat
     has_mp = last_obs_mp >= 0
     mp_idx = jnp.maximum(last_obs_mp, 0)
@@ -141,14 +146,13 @@ def track_with_motion_model(ms: M.MapState, frame: FrameData,
     uv_proj, z, in_img = _project(pred_rot, pred_t, pts_w, cfg)
     valid_proj = mp_ok & in_img
 
-    # per-query radius scaled by last-observation octave
-    lvl = ms.kf_level[0]  # placeholder shape; actual level from last frame's kp
-    # use the level stored on the mp's source keypoint: approximate with
-    # current-frame levels during search (reference uses last frame octave).
-    radius = jnp.full((feat.capacity,), cfg.search_radius_mm, jnp.float32)
+    if last_levels is None:
+        last_levels = jnp.zeros((feat.capacity,), jnp.int32)
+    radius = cfg.search_radius_mm * (
+        cfg.scale_factor ** last_levels.astype(jnp.float32))
     qdesc = ms.mp_desc[mp_idx]
     m_idx, m_dist = matching.search_by_projection(
-        uv_proj, jnp.zeros_like(feat.level), valid_proj, qdesc,
+        uv_proj, last_levels, valid_proj, qdesc,
         feat.uv, feat.level, feat.desc, feat.valid, radius,
         max_dist=cfg.match_max_dist)
 
@@ -182,28 +186,77 @@ def _pose_opt_from_obs(ms, frame, obs_mp, rot0, t0, cfg: TrackConfig):
     return rot, t, obs_mp, n_inl
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def track_reference_keyframe(ms: M.MapState, frame: FrameData,
+                             words_frame, words_kf, ref_kf,
+                             rot0, t0, cfg: TrackConfig):
+    """Tracking::TrackReferenceKeyFrame (/root/reference/src/Tracking.cc:3106):
+    when motion-model tracking fails, match the frame against the reference
+    KF's map points gated by BoW word equality (ORBmatcher::SearchByBoW
+    visits only same-node features), then pose-only GN from the last pose.
+
+    words_*: vocabulary leaf ids per keypoint (retrieval/vocab.descend)."""
+    feat = frame.feat
+    kf_obs = ms.kf_obs_mp[ref_kf]
+    kf_ok = ms.kf_kp_valid[ref_kf] & (kf_obs >= 0) \
+        & ms.mp_valid[jnp.maximum(kf_obs, 0)]
+    same_word = (words_frame[:, None] == words_kf[None, :]) \
+        & (words_frame >= 0)[:, None] & (words_kf >= 0)[None, :]
+    m_idx, m_dist = matching.match_descriptors(
+        feat.desc, feat.valid, ms.kf_desc[ref_kf], kf_ok,
+        max_dist=matching.TH_LOW, ratio=0.7, mutual=True, mask=same_word)
+    # rotation-histogram consistency (SearchByBoW's CheckOrientation)
+    m_idx = matching.rotation_consistency(
+        feat.angle, ms.kf_angle[ref_kf], m_idx)
+    obs_mp = jnp.where(m_idx >= 0, kf_obs[jnp.maximum(m_idx, 0)], M.NO_MP)
+    rot, t, obs_mp, n_inl = _pose_opt_from_obs(ms, frame, obs_mp, rot0, t0, cfg)
+    return TrackResult(rot, t, obs_mp, n_inl)
+
+
 # ---------------------------------------------------------------------------
 # Local-map tracking
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",))
 def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
-                    rot, t, ref_kf, cfg: TrackConfig):
+                    rot, t, ref_kf, cfg: TrackConfig, local_masks=None):
     """Search additional local-map points, then pose-only GN over all.
 
-    Also updates map-point visible/found counters (the culling signal)."""
+    Also updates map-point visible/found counters (the culling signal).
+
+    `local_masks` = precomputed (kf_mask, mp_mask) from M.local_window —
+    the window only changes at map mutations (KF insertion/cull/loop), so
+    the host computes it once per KF instead of per frame (the O(K·M)
+    incidence + covisibility matmuls dominate per-frame cost at scale)."""
     feat = frame.feat
-    kf_mask, mp_mask = M.local_window(ms, ref_kf, cfg.local_window)
+    if local_masks is None:
+        kf_mask, mp_mask = M.local_window(ms, ref_kf, cfg.local_window)
+    else:
+        kf_mask, mp_mask = local_masks
 
     uv_proj, z, in_img = _project(rot, t, ms.mp_pos, cfg)
     # skip points already matched in this frame
     already = jnp.zeros((ms.m_max,), bool).at[jnp.maximum(obs_mp, 0)].set(obs_mp >= 0)
     cand = mp_mask & in_img & ~already
 
-    # scale-aware radius: dist within [min,max] gate + viewing angle omitted
-    dist = jnp.linalg.norm(ms.mp_pos + (rot.T @ t), axis=1)  # |p - cam_center|
+    # frustum gates (Frame::isInFrustum, /root/reference/src/Frame.cc:876):
+    # distance within the point's scale-invariance band and viewing
+    # direction within 60 deg of the stored normal (viewingCosLimit=0.5)
+    cam_center = -(rot.T @ t)
+    dvec = ms.mp_pos - cam_center
+    dist = jnp.linalg.norm(dvec, axis=1)
     scale_ok = (dist > 0.8 * ms.mp_min_dist) & (dist < 1.2 * ms.mp_max_dist)
     cand = cand & (scale_ok | (ms.mp_max_dist <= 0))
+    view = dvec / jnp.maximum(dist, 1e-6)[:, None]
+    vcos = jnp.sum(view * ms.mp_normal, axis=1)
+    has_normal = jnp.sum(ms.mp_normal ** 2, axis=1) > 0.25
+    cand = cand & ((vcos > 0.5) | ~has_normal)
+
+    # predicted octave from distance (MapPoint::PredictScale)
+    log_sf = jnp.log(jnp.float32(cfg.scale_factor))
+    ratio_d = jnp.maximum(ms.mp_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
+    level_pred = jnp.clip(jnp.ceil(jnp.log(ratio_d) / log_sf),
+                          0, cfg.n_levels - 1).astype(jnp.int32)
 
     # cap the candidate set: the dense [M, N] search tile is top_k-bound on
     # TPU; 2048 candidates cover any realistic local window
@@ -211,9 +264,14 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
     _, cand_idx = jax.lax.top_k(cand.astype(jnp.float32)
                                 - 1e-7 * jnp.arange(ms.m_max), nc)
     cand_sub = cand[cand_idx]
-    radius = jnp.full((nc,), cfg.search_radius_lm, jnp.float32)
+    # radius by viewing cos (SearchLocalPoints: 2.5 px head-on, 4.0 px
+    # oblique), octave-scaled; search_radius_lm is the th multiplier (=5 ->
+    # the reference's 2.5/4.0 at level 0)
+    r_view = jnp.where(vcos[cand_idx] >= 0.998, 0.5, 0.8)
+    radius = (cfg.search_radius_lm * r_view
+              * cfg.scale_factor ** level_pred[cand_idx].astype(jnp.float32))
     m_idx, m_dist = matching.search_by_projection(
-        uv_proj[cand_idx], jnp.zeros((nc,), jnp.int32), cand_sub,
+        uv_proj[cand_idx], level_pred[cand_idx], cand_sub,
         ms.mp_desc[cand_idx],
         feat.uv, feat.level, feat.desc,
         feat.valid & ~(obs_mp >= 0),  # unmatched slots only
@@ -244,7 +302,8 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg", "fcfg"))
 def fused_track_step(gray, depth, ms: M.MapState, last_obs_mp,
-                     pred_rot, pred_t, ref_kf, cfg: TrackConfig, fcfg):
+                     pred_rot, pred_t, ref_kf, cfg: TrackConfig, fcfg,
+                     local_masks=None):
     """One dispatch for the whole per-frame hot path: frame build +
     motion-model tracking + local-map tracking. Eliminates the per-call
     dispatch floors between the three stages (~2 ms on the tunneled chip)
@@ -257,7 +316,8 @@ def fused_track_step(gray, depth, ms: M.MapState, last_obs_mp,
     res = track_with_motion_model.__wrapped__(
         ms, frame, last_obs_mp, pred_rot, pred_t, cfg)
     ms2, res2 = track_local_map.__wrapped__(
-        ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg)
+        ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg,
+        local_masks=local_masks)
     return frame, res2, ms2
 
 
@@ -291,7 +351,7 @@ def create_keyframe(ms: M.MapState, frame: FrameData, rot, t, time,
     pos_c = jnp.stack([x, y, z], axis=1)
     pos_w = pos_c @ rot_wc.T + cam_center
 
-    mp_slots = M.free_mp_slots(ms, feat.capacity)
+    ms, mp_slots = M.free_mp_slots(ms, feat.capacity, use_mask=make)
     new_ids = jnp.where(make, mp_slots, M.NO_MP)
     obs_all = jnp.where(make, new_ids, obs_mp)
 

@@ -160,7 +160,9 @@ def local_bundle_adjustment(prob: BAProblem, fx, fy, cx, cy, bf=0.0,
     th = jnp.where(prob.is_stereo, CHI2_STEREO, CHI2_MONO)
     active = active & (chi2 <= th) & (~behind)
 
-    prob = stage(prob, active, iters2, True)
+    # second stage without the robust kernel: the reference removes Huber
+    # after outlier pruning (Optimizer.cc LocalBundleAdjustment, e->setRobustKernel(0))
+    prob = stage(prob, active, iters2, False)
     r, _, _, behind = _residuals(prob, fx, fy, cx, cy, bf)
     chi2 = _chi2(r, prob)
     inliers = prob.obs_valid & (chi2 <= th) & (~behind)

@@ -45,6 +45,10 @@ class FrameConfig:
     # always sees ideal-pinhole keypoints, exactly like the reference.
     camera_model: str = "pinhole"
     dist_params: tuple = ()
+    # SSL_SLAM2 edge/surf feature extraction on the depth cloud before the
+    # voxel filter (LaserProcessing in the RGB-D Frame ctor, Frame.cc:374-394)
+    # — enabled by the system when UsePointCloudObs is on
+    lidar_features: bool = False
 
 
 class FrameData(NamedTuple):
@@ -54,6 +58,10 @@ class FrameData(NamedTuple):
     cloud: jnp.ndarray          # [P,3] voxel-downsampled depth cloud (cam frame)
     cloud_valid: jnp.ndarray    # [P]
     lk_pyramid: Tuple[jnp.ndarray, ...]  # LK pyramid of the (CLAHE) gray image
+    # metric depth image, retained only when OF slots are reserved so the OF
+    # stage can sample depth for appended points (Frame::AddPts samples the
+    # depth map, /root/reference/src/Frame.cc:625-674); None otherwise
+    depth_img: Optional[jnp.ndarray] = None
 
 
 def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
@@ -86,9 +94,15 @@ def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
         d = depth[yi, xi] * cfg.depth_map_factor
         d = jnp.where((d > 0) & (d < cfg.max_depth) & feat.valid, d, -1.0)
         ur = jnp.where(d > 0, feat.uv[:, 0] - cfg.bf / jnp.maximum(d, 1e-6), -1.0)
-        raw_pts, raw_mask = pc.depth_to_cloud(
-            depth * cfg.depth_map_factor, fx, fy, cx, cy,
-            stride=cfg.cloud_stride, max_depth=cfg.max_depth)
+        if cfg.lidar_features:
+            # selective edge/surf feature cloud (LaserProcessing parity)
+            raw_pts, raw_mask, _ = pc.lidar_feature_cloud(
+                depth * cfg.depth_map_factor, fx, fy, cx, cy,
+                stride=cfg.cloud_stride, max_depth=cfg.max_depth)
+        else:
+            raw_pts, raw_mask = pc.depth_to_cloud(
+                depth * cfg.depth_map_factor, fx, fy, cx, cy,
+                stride=cfg.cloud_stride, max_depth=cfg.max_depth)
         cloud, cloud_valid = pc.voxel_downsample(
             raw_pts, raw_mask, cfg.cloud_voxel, cfg.cloud_max_pts)
     else:
@@ -107,15 +121,14 @@ def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
             desc=jnp.concatenate([feat.desc, jnp.zeros((pad, 8), jnp.uint32)]),
             valid=jnp.concatenate([feat.valid, jnp.zeros((pad,), bool)]),
         )
-        if depth is not None:
-            # sample depth for OF slots lazily: filled by the OF stage via
-            # the depth image is not retained; use -1 (mono-style obs)
-            d = jnp.concatenate([d, jnp.full((pad,), -1.0)])
-            ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
-        else:
-            d = jnp.concatenate([d, jnp.full((pad,), -1.0)])
-            ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
+        # OF slots start without depth; the OF stage samples the retained
+        # depth image when it fills them (Frame::AddPts parity)
+        d = jnp.concatenate([d, jnp.full((pad,), -1.0)])
+        ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
 
     pyr = tuple(klt_ops.build_lk_pyramid(img, cfg.lk_levels))
+    keep_depth = (depth * cfg.depth_map_factor
+                  if (cfg.n_of_slots > 0 and depth is not None) else None)
     return FrameData(feat=feat, depth_kp=d, u_right=ur,
-                     cloud=cloud, cloud_valid=cloud_valid, lk_pyramid=pyr)
+                     cloud=cloud, cloud_valid=cloud_valid, lk_pyramid=pyr,
+                     depth_img=keep_depth)

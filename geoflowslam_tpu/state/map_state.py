@@ -35,7 +35,8 @@ class MapState(NamedTuple):
     kf_t: jnp.ndarray          # [K,3]   Tcw translation
     kf_vel: jnp.ndarray        # [K,3]   world velocity (inertial)
     kf_bias: jnp.ndarray       # [K,6]   (bg, ba)
-    kf_time: jnp.ndarray       # [K]     timestamp (f64 kept as f32 offset)
+    kf_time: jnp.ndarray       # [K] f32 seconds since the session's host-held
+                               #     f64 time base (SlamSystem.time_base)
     kf_valid: jnp.ndarray      # [K] bool
     kf_map_id: jnp.ndarray     # [K] int32 Atlas map membership
     kf_prev: jnp.ndarray       # [K] int32 temporal predecessor (-1 none)
@@ -123,20 +124,56 @@ def create(k_max: int = 64, n_kp: int = 1500, m_max: int = 16384,
 # ---------------------------------------------------------------------------
 
 def free_kf_slot(ms: MapState) -> jnp.ndarray:
-    """Index of a free KF slot (first invalid). If full, returns the oldest
-    valid slot in a *different* map (dormant maps evicted first) — capacity
-    pressure policy; the orchestrator sizes K_MAX to avoid hitting it."""
+    """Index of a free KF slot (first invalid). Under capacity pressure the
+    oldest *dormant-map* KF may be evicted; live KFs of the ACTIVE map are
+    never silently evicted — the host orchestrator checks
+    `kf_capacity_left` before inserting and forces a cull / errors instead
+    (SlamSystem._ensure_kf_capacity)."""
     score = jnp.where(~ms.kf_valid, -1e9, ms.kf_time
-                      + jnp.where(ms.kf_map_id == ms.active_map, 1e6, 0.0))
+                      + jnp.where(ms.kf_map_id == ms.active_map, jnp.inf, 0.0))
     return jnp.argmin(score).astype(jnp.int32)
 
 
-def free_mp_slots(ms: MapState, count: int) -> jnp.ndarray:
-    """[count] free map-point slots (invalid first, then lowest found ratio)."""
+def kf_capacity_left(ms: MapState) -> jnp.ndarray:
+    """Number of KF slots insertable without evicting a live active-map KF
+    (invalid slots + dormant-map slots)."""
+    evictable = ~ms.kf_valid | (ms.kf_map_id != ms.active_map)
+    return jnp.sum(evictable.astype(jnp.int32))
+
+
+def free_mp_slots(ms: MapState, count: int, use_mask=None):
+    """Allocate `count` map-point slots (invalid first, then lowest found
+    ratio under capacity pressure).
+
+    `use_mask` [count] bool marks which positions the caller will actually
+    register (callers keep slot lists keypoint-index-aligned, so True
+    positions are scattered). The freest slots are permuted onto the True
+    positions so a live point is never evicted while an invalid slot goes
+    unused, and any still-live slot that *is* about to be recycled gets all
+    of its kf_obs_mp references detached first (otherwise stale observations
+    would attach to the new unrelated point and corrupt covisibility/BA).
+
+    Returns (ms, slots [count] int32). With use_mask=None behaves as before
+    (no detach — caller guarantees capacity)."""
     ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
     score = jnp.where(~ms.mp_valid, -1e9, ratio)
     _, idx = jax.lax.top_k(-score, count)
-    return idx.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    if use_mask is None:
+        return ms, idx
+    # permute: freest slots (idx is best-first) onto use_mask=True positions
+    order = jnp.argsort(~use_mask, stable=True)       # True positions first
+    slots = jnp.zeros_like(idx).at[order].set(idx)
+    # detach observations of live slots that are being recycled
+    evict = jnp.zeros((ms.m_max,), bool).at[slots].set(
+        use_mask & ms.mp_valid[slots])
+    obs = ms.kf_obs_mp
+    stale = (obs >= 0) & evict[jnp.maximum(obs, 0)]
+    ms = ms._replace(
+        kf_obs_mp=jnp.where(stale, NO_MP, obs),
+        mp_valid=ms.mp_valid & ~evict,
+    )
+    return ms, slots
 
 
 # ---------------------------------------------------------------------------
