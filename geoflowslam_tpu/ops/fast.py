@@ -86,6 +86,17 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return fast_score_maps(img, [threshold])[0]
 
 
+def _fast_scores_two(img: jnp.ndarray, th_lo: float, th_hi: float):
+    """Two-threshold FAST responses: Pallas fused-stencil kernel on TPU
+    (bit-exact vs the XLA path, tests/test_pallas_kernels.py), XLA fallback
+    on the host platform / unsupported shapes."""
+    from geoflowslam_tpu.ops import pallas_kernels as PK
+    h, w = img.shape
+    if PK.on_tpu() and PK.fast_supported(h, w):
+        return PK.fast_scores_pallas(img, th_lo, th_hi)
+    return fast_score_maps(img, [th_lo, th_hi])
+
+
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     """3x3 non-maximum suppression (keeps strict local maxima).
 
@@ -121,7 +132,7 @@ def detect_level(img: jnp.ndarray, n_keypoints: int, ini_threshold: float,
     3. per-cell top-`per_cell_cap`, then global top-`n_keypoints`.
     """
     h, w = img.shape
-    s_low, s_high = fast_score_maps(img, [min_threshold, ini_threshold])
+    s_low, s_high = _fast_scores_two(img, min_threshold, ini_threshold)
     score_low = nms3x3(s_low)
     score_high = nms3x3(s_high)
 
