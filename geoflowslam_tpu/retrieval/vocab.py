@@ -128,16 +128,18 @@ def load_dbow2_text(path: str, max_levels: int | None = None) -> Vocabulary:
             parent = int(parts[0])
             desc = np.frombuffer(
                 bytes(int(x) for x in parts[2:34]), dtype=np.uint32).copy()
-            rows.append((node_id, parent, desc))
+            weight = float(parts[34]) if len(parts) > 34 else 1.0
+            rows.append((node_id, parent, desc, weight))
             children.setdefault(parent, []).append(node_id)
 
-    id2desc = {nid: d for nid, _, d in rows}
+    id2desc = {nid: d for nid, _, d, _ in rows}
+    id2w = {nid: w for nid, _, _, w in rows}
     # build padded complete tree level by level (BFS from root id -1's kids)
     level_centers = []
     # DBoW2 roots: children of node 0? In the text format the first k nodes
     # have parent 0; node ids are implicit order. Treat parent==0 nodes as
     # level-1.
-    frontier = [nid for nid, par, _ in rows if par == 0][:k]
+    frontier = [nid for nid, par, _, _ in rows if par == 0][:k]
     slot_nodes = frontier + [None] * (k - len(frontier))
     for lvl in range(levels):
         centers = np.zeros((k ** (lvl + 1), 8), np.uint32)
@@ -153,11 +155,51 @@ def load_dbow2_text(path: str, max_levels: int | None = None) -> Vocabulary:
             kids = [c if c is not None else nid for c in kids]
             next_nodes.extend(kids)
         level_centers.append(jnp.asarray(centers))
+        if lvl == levels - 1:
+            last_nodes = slot_nodes
         slot_nodes = next_nodes
     v = k ** levels
-    weights = jnp.ones((v,), jnp.float32)
-    return Vocabulary(centers=tuple(level_centers), weights=weights,
-                      k=k, levels=levels)
+    # word weights: each last-level slot descends from some stored node
+    # (leaves at shallower depth propagate via the parent-id padding above);
+    # take that node's stored idf weight (TemplatedVocabulary leaf weights)
+    weights = np.array([id2w.get(nid, 1.0) if nid is not None else 0.0
+                        for nid in last_nodes], np.float32)
+    if not np.any(weights > 0):
+        weights = np.ones((v,), np.float32)
+    return Vocabulary(centers=tuple(level_centers),
+                      weights=jnp.asarray(weights), k=k, levels=levels)
+
+
+def save_vocabulary(path: str, vocab: Vocabulary):
+    """Persist a vocabulary as npz (the TPU build's ORBvoc.txt analogue)."""
+    arrs = {f"centers_{i}": np.asarray(c) for i, c in enumerate(vocab.centers)}
+    np.savez_compressed(path, k=vocab.k, levels=vocab.levels,
+                        weights=np.asarray(vocab.weights), **arrs)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    levels = int(z["levels"])
+    centers = tuple(jnp.asarray(z[f"centers_{i}"]) for i in range(levels))
+    return Vocabulary(centers=centers, weights=jnp.asarray(z["weights"]),
+                      k=int(z["k"]), levels=levels)
+
+
+_DEFAULT_VOCAB = None
+
+
+def default_vocabulary() -> Vocabulary:
+    """The shipped vocabulary artifact trained with `build_vocabulary` on
+    descriptors from this framework's own (generated-pattern) ORB extractor
+    over varied synthetic scenes — the drop-in replacement for the
+    reference's bundled ORBvoc (see tools/train_vocab.py). Cached."""
+    global _DEFAULT_VOCAB
+    if _DEFAULT_VOCAB is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "vocab_default.npz")
+        _DEFAULT_VOCAB = load_vocabulary(path)
+    return _DEFAULT_VOCAB
 
 
 def descend(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
