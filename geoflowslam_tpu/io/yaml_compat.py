@@ -138,6 +138,7 @@ def system_config_from_yaml(path: str, sensor: Optional[str] = None,
             walk_gyro=float(get("IMU.GyroWalk", 1.9e-5)),
             walk_acc=float(get("IMU.AccWalk", 3e-3)),
             t_bc=np.asarray(t_bc, np.float32).reshape(4, 4),
+            imu_method=int(get("IMU.IMUMethod", 0)),
         )
 
     if sensor is None:
@@ -155,6 +156,10 @@ def system_config_from_yaml(path: str, sensor: Optional[str] = None,
         use_lidar=bool(get("UsePointCloudObs", 0)),
         use_gms_init=bool(get("UseGMSInit", 0)),
         time_recently_lost=float(get("TimeRecentlyLost", 5.0)),
+        insert_kfs_when_lost=bool(get("InsertKFsWhenLost", 1)),
+        r_odom_cam=(tuple(np.asarray(y["T_odom_w"], np.float32)
+                          .reshape(-1)[:9].tolist())
+                    if "T_odom_w" in y else None),
     )
     if overrides:
         import dataclasses

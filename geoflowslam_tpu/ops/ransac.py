@@ -214,6 +214,59 @@ def ransac_pnp(key, pts3d, uv_norm, valid, n_hyp: int = 128,
     return RansacResult(model, inls[best], jnp.sum(inls[best]), scores[best])
 
 
+def refine_pnp_ml(rot0, t0, pts3d, uv_norm, inliers, iters: int = 8):
+    """Maximum-likelihood PnP refinement over bearing vectors
+    (MLPnPsolver::mlpnp_gn, /root/reference/src/MLPnPsolver.cpp:1-1244, used
+    in relocalization at src/Tracking.cc:4586): Gauss-Newton on the residual
+    of each observed bearing expressed in its own 2D nullspace basis —
+    r_i = [r_i; s_i]^T (R p_i + t)/|R p_i + t| with (r_i, s_i) spanning the
+    plane orthogonal to the observed unit bearing v_i. Batched over all
+    correspondences; a left-multiplicative se3 update per iteration.
+
+    Returns (rot, t) refined from (rot0, t0)."""
+    from geoflowslam_tpu.math import lie
+
+    v = jnp.concatenate([uv_norm, jnp.ones_like(uv_norm[:, :1])], axis=1)
+    v = v / jnp.linalg.norm(v, axis=1, keepdims=True)           # [N,3]
+    # nullspace basis per bearing: r = normalize(v x e), s = v x r
+    e = jnp.where(jnp.abs(v[:, 2:3]) < 0.9,
+                  jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), v.shape),
+                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), v.shape))
+    r_b = jnp.cross(v, e)
+    r_b = r_b / jnp.maximum(jnp.linalg.norm(r_b, axis=1, keepdims=True), 1e-9)
+    s_b = jnp.cross(v, r_b)
+    w = inliers.astype(jnp.float32)
+
+    def step(carry, _):
+        rot, t = carry
+        pc = pts3d @ rot.T + t                                   # [N,3]
+        nrm = jnp.maximum(jnp.linalg.norm(pc, axis=1, keepdims=True), 1e-9)
+        u = pc / nrm                                             # [N,3]
+        res = jnp.stack([jnp.sum(r_b * u, axis=1),
+                         jnp.sum(s_b * u, axis=1)], axis=1)      # [N,2]
+        # d u / d pc = (I - u u^T)/|pc| ; d pc/d xi = [I | -[pc]x] (left upd)
+        eye = jnp.eye(3)
+        du = (eye[None] - u[:, :, None] * u[:, None, :]) / nrm[:, :, None]
+        px = jnp.zeros((pts3d.shape[0], 3, 3))
+        px = px.at[:, 0, 1].set(-pc[:, 2]).at[:, 0, 2].set(pc[:, 1])
+        px = px.at[:, 1, 0].set(pc[:, 2]).at[:, 1, 2].set(-pc[:, 0])
+        px = px.at[:, 2, 0].set(-pc[:, 1]).at[:, 2, 1].set(pc[:, 0])
+        dpc = jnp.concatenate([jnp.broadcast_to(eye, px.shape), -px], axis=2)
+        jac_u = jnp.einsum("nij,njk->nik", du, dpc)              # [N,3,6]
+        jac = jnp.stack([jnp.einsum("ni,nik->nk", r_b, jac_u),
+                         jnp.einsum("ni,nik->nk", s_b, jac_u)], axis=1)
+        h = jnp.einsum("n,nri,nrj->ij", w, jac, jac) + 1e-8 * jnp.eye(6)
+        g = jnp.einsum("n,nri,nr->i", w, jac, res)
+        dx = -jnp.linalg.solve(h, g)
+        dr = lie.so3_exp(dx[3:])
+        rot2 = dr @ rot
+        t2 = dr @ t + dx[:3]
+        return (rot2, t2), None
+
+    (rot, t), _ = jax.lax.scan(step, (rot0, t0), None, length=iters)
+    return rot, t
+
+
 # ---------------------------------------------------------------------------
 # Sim3 (Horn closed form, 3 points), replaces Sim3Solver
 # ---------------------------------------------------------------------------

@@ -40,6 +40,12 @@ class ImuConfig:
     max_samples_per_frame: int = 32
     init_min_kfs: int = 5
     init_min_time: float = 1.0
+    # IMU.IMUMethod (include/System.h:112): 0 = ORB-SLAM3 MAP-style
+    # (gyro GN + linear gravity/scale/velocity), 1 = VIG-Init (same
+    # linear closed form), 2 = IMU_INITIALIZATION (analytic/MQH
+    # accelerometer: additionally estimates the accelerometer bias
+    # under the |g| constraint, methods.h:127,398)
+    imu_method: int = 0
 
     def calib(self) -> pre.ImuCalib:
         return pre.ImuCalib.create(self.t_bc, self.noise_gyro, self.noise_acc,
@@ -213,6 +219,48 @@ class InertialTracker:
 
     # -- initialization ----------------------------------------------------
 
+    def scale_refinement(self, ms: M.MapState):
+        """LocalMapping::ScaleRefinement (/root/reference/src/LocalMapping.cc
+        :2446): after IMU init, periodically re-estimate the monocular map
+        scale (+ small gravity-direction correction) against the
+        preintegrated segments using the map's current velocities, and
+        rescale the map when it drifted (|s-1| > 0.002 gate as the
+        reference's InertialOptimization(Rwg, scale) consumer)."""
+        chain = []
+        for s in reversed(self.kf_order):
+            if not chain:
+                chain.append(s)
+                continue
+            if chain[-1] in self.kf_preints:
+                chain.append(s)
+            else:
+                break
+        chain = list(reversed(chain))[-10:]
+        if len(chain) < 4:
+            return ms
+        r_wb, p_wb, v_wb = [], [], []
+        for s in chain:
+            b = self.body_from_cam(ms.kf_rot[s], ms.kf_t[s])
+            r_wb.append(b.r_wb)
+            p_wb.append(b.p)
+            v_wb.append(ms.kf_vel[s])
+        r_wb = jnp.stack(r_wb)
+        p_wb = jnp.stack(p_wb)
+        v_wb = jnp.stack(v_wb)
+        pr = [pre.reintegrate(self.kf_preints[s], self.bias, self.calib)
+              for s in chain[1:]]
+        scale, grav = VI.solve_scale_refinement(
+            r_wb, p_wb, jnp.stack([p.dt for p in pr]),
+            jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
+            v_wb[:-1])
+        s_f = float(scale)
+        if not (0.3 < s_f < 3.0):
+            return ms
+        if abs(s_f - 1.0) <= 0.002:
+            return ms
+        r_wg = VI.gravity_alignment_rotation(grav)
+        return M.apply_scaled_rotation(ms, r_wg, jnp.asarray(s_f, jnp.float32))
+
     def try_initialize(self, ms: M.MapState, scale_free: bool = False):
         """InitializeIMU essence. Returns (ms, did_init)."""
         if self.initialized or len(self.kf_order) < self.cfg.init_min_kfs:
@@ -258,11 +306,22 @@ class InertialTracker:
         new_bias = jnp.concatenate([bg, jnp.zeros(3)])
         pr = [pre.reintegrate(p, new_bias, self.calib) for p in pr]
 
-        # 2) gravity + velocities (+ scale for mono)
-        vels, grav, scale = VI.solve_gravity_scale_velocities(
-            r_wb, p_wb, jnp.stack([p.dt for p in pr]),
-            jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
-            valid, solve_scale=scale_free)
+        # 2) gravity + velocities (+ scale for mono); method 2 also
+        # estimates the accelerometer bias (analytic/MQH accelerometer)
+        ba = jnp.zeros(3)
+        if self.cfg.imu_method == 2:
+            vels, grav, ba, scale = VI.solve_accelerometer_analytic(
+                r_wb, p_wb, jnp.stack([p.dt for p in pr]),
+                jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
+                jnp.stack([p.JPa for p in pr]), jnp.stack([p.JVa for p in pr]),
+                valid, solve_scale=scale_free)
+            if float(jnp.linalg.norm(ba)) > 1.0:
+                ba = jnp.zeros(3)   # implausible bias: keep gravity/scale only
+        else:
+            vels, grav, scale = VI.solve_gravity_scale_velocities(
+                r_wb, p_wb, jnp.stack([p.dt for p in pr]),
+                jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
+                valid, solve_scale=scale_free)
         g_norm = float(jnp.linalg.norm(grav))
         if not (7.0 < g_norm < 12.0):
             return ms, False  # bad init; retry later
@@ -294,6 +353,10 @@ class InertialTracker:
                          kf_bias=ms.kf_bias.at[jnp.asarray(chain)].set(new_bias),
                          imu_initialized=jnp.ones((), bool))
 
+        if self.cfg.imu_method == 2:
+            new_bias = jnp.concatenate([new_bias[:3], ba])
+            ms = ms._replace(
+                kf_bias=ms.kf_bias.at[jnp.asarray(chain)].set(new_bias))
         self.bias = new_bias
         self.initialized = True
         # current body state must be re-derived by the caller from the

@@ -394,6 +394,128 @@ def solve_gravity_scale_velocities(
     return vels, grav, scale
 
 
+def _gravity_tangent_basis(g_dir: jnp.ndarray) -> jnp.ndarray:
+    """[3,2] basis of the plane orthogonal to g_dir
+    (ImuInitializer::s2_tangential_basis, include/ImuInitializer.h:47)."""
+    e = jnp.where(jnp.abs(g_dir[2]) < 0.9,
+                  jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
+    b1 = jnp.cross(g_dir, e)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-9)
+    b2 = jnp.cross(g_dir, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def solve_accelerometer_analytic(rots_wb, ps_wb, dts, dVs, dPs, JPa, JVa,
+                                 valid, solve_scale: bool = False,
+                                 g_mag: float = 9.81):
+    """Accelerometer initialization with bias estimation
+    (analytic_accelerometer / mqh_accelerometer essence,
+    /root/reference/include/methods.h:127,398 + src/polynomial.cc): extend
+    the linear VI system with the accelerometer bias through the
+    preintegration Jacobians (dP ~= dP0 + JPa ba, dV ~= dV0 + JVa ba), solve
+    unconstrained, then re-solve with the gravity-magnitude constraint by
+    parameterizing g = g_mag * (g0_dir + B delta) on the S2 tangent (the
+    reference enforces |g| = G via a polynomial root / Lagrangian solve; the
+    tangent relinearization reaches the same constrained optimum here since
+    the unconstrained g is already near the sphere).
+
+    Returns (velocities [K,3], gravity [3] with |g| = g_mag, ba [3], scale).
+    """
+    k = rots_wb.shape[0]
+    s_count = k - 1
+    nx = 3 * k + 3 + 3 + (1 if solve_scale else 0)   # v, g, ba, (s)
+    w = valid.astype(jnp.float32)
+
+    def build(g0_dir=None):
+        """g0_dir None: free gravity (3 dof); else 2-dof tangent around it."""
+        free_g = g0_dir is None
+        ng = 3 if free_g else 2
+        nxx = 3 * k + ng + 3 + (1 if solve_scale else 0)
+        basis = None if free_g else _gravity_tangent_basis(g0_dir)
+        a_list, b_list = [], []
+        for i in range(s_count):
+            dt = dts[i]
+            r1 = rots_wb[i]
+            # position row: s(p2-p1) = v1 dt + 0.5 g dt^2 + R1(dP + JPa ba)
+            a_p = jnp.zeros((3, nxx))
+            a_p = a_p.at[:, 3 * i:3 * i + 3].set(jnp.eye(3) * dt)
+            gcol = 0.5 * dt * dt * (jnp.eye(3) if free_g
+                                    else g_mag * basis)
+            a_p = a_p.at[:, 3 * k:3 * k + ng].set(gcol)
+            a_p = a_p.at[:, 3 * k + ng:3 * k + ng + 3].set(r1 @ JPa[i])
+            b_p0 = -(r1 @ dPs[i])
+            if not free_g:
+                b_p0 = b_p0 - 0.5 * dt * dt * g_mag * g0_dir
+            if solve_scale:
+                a_p = a_p.at[:, -1].set(-(ps_wb[i + 1] - ps_wb[i]))
+                b_p = b_p0
+            else:
+                b_p = (ps_wb[i + 1] - ps_wb[i]) + b_p0
+            # velocity row: v2 = v1 + g dt + R1(dV + JVa ba)
+            a_v = jnp.zeros((3, nxx))
+            a_v = a_v.at[:, 3 * i:3 * i + 3].set(-jnp.eye(3))
+            a_v = a_v.at[:, 3 * (i + 1):3 * (i + 1) + 3].set(jnp.eye(3))
+            gvol = -dt * (jnp.eye(3) if free_g else g_mag * basis)
+            a_v = a_v.at[:, 3 * k:3 * k + ng].set(gvol)
+            # v2 - v1 - g dt - R1 JVa ba = R1 dV  (ba coefficient is negative)
+            a_v = a_v.at[:, 3 * k + ng:3 * k + ng + 3].set(-(r1 @ JVa[i]))
+            b_v = r1 @ dVs[i]
+            if not free_g:
+                b_v = b_v + dt * g_mag * g0_dir
+            a_list += [a_p * w[i], a_v * w[i]]
+            b_list += [b_p * w[i], b_v * w[i]]
+        return (jnp.concatenate(a_list, 0), jnp.concatenate(b_list, 0),
+                ng, basis)
+
+    # pass 1: unconstrained gravity
+    a, b, ng, _ = build(None)
+    x, *_ = jnp.linalg.lstsq(a, b)
+    g0 = x[3 * k:3 * k + 3]
+    g0_dir = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+    # pass 2: |g| = g_mag enforced on the tangent
+    a, b, ng, basis = build(g0_dir)
+    x, *_ = jnp.linalg.lstsq(a, b)
+    vels = x[:3 * k].reshape(k, 3)
+    delta = x[3 * k:3 * k + 2]
+    grav = g_mag * (g0_dir + basis @ delta)
+    grav = g_mag * grav / jnp.maximum(jnp.linalg.norm(grav), 1e-9)
+    ba = x[3 * k + 2:3 * k + 5]
+    scale = x[-1] if solve_scale else jnp.ones(())
+    return vels, grav, ba, scale
+
+
+def solve_scale_refinement(rots_wb, ps_wb, dts, dVs, dPs, vels, g_mag=9.81,
+                           g_dir=None):
+    """LocalMapping::ScaleRefinement (/root/reference/src/LocalMapping.cc:2446
+    -> InertialOptimization(Map*, Rwg, scale)): with velocities and biases
+    held from the map, re-estimate only the map scale and a 2-DoF gravity
+    direction correction from the position constraints.
+
+    Returns (scale, gravity [3] with |g| = g_mag)."""
+    k = rots_wb.shape[0]
+    if g_dir is None:
+        g_dir = jnp.array([0.0, 0.0, -1.0])
+    basis = _gravity_tangent_basis(g_dir)
+    a_list, b_list = [], []
+    for i in range(k - 1):
+        dt = dts[i]
+        r1 = rots_wb[i]
+        # s (p2 - p1) - 0.5 g_mag (B d) dt^2 = v1 dt + 0.5 g_mag g_dir dt^2 + R1 dP
+        a_row = jnp.zeros((3, 3))
+        a_row = a_row.at[:, 0].set(ps_wb[i + 1] - ps_wb[i])
+        a_row = a_row.at[:, 1:3].set(-0.5 * g_mag * dt * dt * basis)
+        b_row = vels[i] * dt + 0.5 * g_mag * dt * dt * g_dir + r1 @ dPs[i]
+        a_list.append(a_row)
+        b_list.append(b_row)
+    a = jnp.concatenate(a_list, 0)
+    b = jnp.concatenate(b_list, 0)
+    x, *_ = jnp.linalg.lstsq(a, b)
+    scale = x[0]
+    grav = g_mag * (g_dir + basis @ x[1:3])
+    grav = g_mag * grav / jnp.maximum(jnp.linalg.norm(grav), 1e-9)
+    return scale, grav
+
+
 def gravity_alignment_rotation(gravity: jnp.ndarray) -> jnp.ndarray:
     """R_wg aligning estimated gravity to (0,0,-9.81): world' = R @ world."""
     g_norm = gravity / jnp.maximum(jnp.linalg.norm(gravity), 1e-9)

@@ -21,3 +21,8 @@ class Verbose:
     def print(cls, msg: str, level: int = 1):
         if level <= cls.level:
             print(msg, file=sys.stderr, flush=True)
+
+
+def warn(msg: str):
+    """Always-visible runtime warning (the reference's cerr guards)."""
+    print(f"[geoflowslam-tpu] WARNING: {msg}", file=sys.stderr, flush=True)
