@@ -1,20 +1,26 @@
-"""Benchmark: RGB-D tracking hot path on the real TPU.
+"""Benchmark: steady-state RGB-D-inertial SLAM on the real TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the per-frame device pipeline at the reference's flagship operating
-point (640x480 RGB-D, 1000 ORB features — Camera.width/height and
-ORBextractor.nFeatures in the reference's G1/Go2 configs): frame build
-(CLAHE + pyramid + FAST + rBRIEF + depth cloud) -> motion-model projection
-tracking (Hamming matmul search + pose-only GN) -> local-map tracking.
-FPS = frames/sec of the full per-frame device work, the reference's
-ExecTimeMean "Total Tracking" analogue. Baseline = 60 FPS north star
-(BASELINE.md: >=60 FPS RGB-D-inertial tracking on one TPU v5e core).
+Headline metric = the NORTH-STAR operating point (BASELINE.md line 18:
+">=60 FPS RGB-D-inertial tracking + local BA on one TPU v5e core"):
+the full steady-state loop of `SlamSystem.track_rgbd_inertial` at 640x480
+with 1000 ORB features — IMU preintegration, frame build (CLAHE + pyramid +
+FAST + rBRIEF + depth cloud), motion-model + local-map tracking, VI pose
+refinement, KF insertion at the reference's forced 0.5 s inertial cadence,
+and the amortized per-KF mapping work (triangulation-free RGB-D point
+creation, VI local BA, fusion, culling) — on a GROWING map at production
+capacities (k_max=256, m_max=65536). Wall-clock per frame includes host
+orchestration, exactly what the reference's ExecTimeMean "Total Tracking"
+measures.
 
-Runs on the default platform (the tunneled TPU chip); falls back to CPU
-gracefully so the script always emits its JSON line.
+Secondary (stderr): the fused single-dispatch visual hot path FPS.
+
+Runs on the default platform (the tunneled TPU chip); always emits the JSON
+line even on failure.
 """
 import json
+import os
 import sys
 import time
 
@@ -25,75 +31,127 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    os.makedirs("/root/.cache/jax_bench_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
     from geoflowslam_tpu.io.synthetic import SyntheticWorld, SyntheticSequence, Camera
-    from geoflowslam_tpu.state.frame import FrameConfig, build_frame
+    from geoflowslam_tpu.state.frame import FrameConfig
     from geoflowslam_tpu.ops.extractor import OrbConfig
+    from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
     from geoflowslam_tpu.pipeline import tracking as T
     from geoflowslam_tpu.state import map_state as M
 
     cam = Camera()  # 640x480, fx 400
-    orb = OrbConfig(n_features=1000, n_levels=8, height=cam.height, width=cam.width)
+    fps_in = 30.0
+    orb = OrbConfig(n_features=1000, n_levels=8, height=cam.height,
+                    width=cam.width)
     fc = FrameConfig(orb=orb, lk_levels=4, cloud_stride=4, cloud_max_pts=4096)
-    tcfg = T.TrackConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=40.0,
-                         n_levels=8, scale_factor=1.2)
+    imu = ImuConfig()
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=40.0,
+                       frame=fc, imu=imu)      # production k_max/m_max
 
-    world = SyntheticWorld(cam)
-    seq = SyntheticSequence(world, fps=30.0)
-
-    bf_fn = jax.jit(lambda g, d: build_frame(g, d, fc, cam.fx, cam.fy, cam.cx, cam.cy))
-
-    # Bootstrap: render 2 frames, init the map from frame 0.
+    # ---- pre-render the sequence (host-side, excluded from timing) --------
+    # rendered on the CPU backend (the TPU tunnel's per-op dispatch latency
+    # makes eager rendering slow) and cached on disk across bench runs
+    n_warm, n_timed = 75, 45
+    n_total = n_warm + n_timed
     t0 = time.time()
-    gray0, depth0, _ = seq.frame(0.0)
-    gray1, depth1, _ = seq.frame(1.0 / 30.0)
-    frame0 = bf_fn(gray0, depth0)
-    jax.block_until_ready(frame0.feat.uv)
-    ms = M.create(32, orb.n_features, 16384)
-    ms, kf_slot, res = T.stereo_initialization(ms, frame0, jnp.float32(0.0), tcfg)
-    jax.block_until_ready(ms.mp_pos)
-    print(f"setup+compile(frame,init): {time.time()-t0:.1f}s, "
-          f"init pts {int(res.n_inliers)}", file=sys.stderr)
+    cache = f"/root/.cache/geoflow_bench_frames_{n_total}_{cam.width}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames = [(z["gray"][i], z["depth"][i],
+                   z["acc"][i] if i > 0 else None,
+                   z["gyro"][i] if i > 0 else None,
+                   z["dts"][i] if i > 0 else None,
+                   i / fps_in) for i in range(n_total)]
+        print(f"loaded {n_total} cached frames: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            world = SyntheticWorld(cam)
+            seq = SyntheticSequence(world, fps=fps_in)
+            frames = []
+            for i in range(n_total):
+                t = i / fps_in
+                gray, depth, _ = seq.frame(t)
+                if i > 0:
+                    acc, gyro, dts = seq.imu_between((i - 1) / fps_in, t, 32)
+                    acc, gyro, dts = (np.asarray(acc), np.asarray(gyro),
+                                      np.asarray(dts))
+                else:
+                    acc = gyro = dts = None
+                frames.append((np.asarray(gray), np.asarray(depth),
+                               acc, gyro, dts, t))
+        try:
+            zeros = (np.zeros_like(frames[1][2]), np.zeros_like(frames[1][3]),
+                     np.zeros_like(frames[1][4]))
+            np.savez(cache,
+                     gray=np.stack([f[0] for f in frames]),
+                     depth=np.stack([f[1] for f in frames]),
+                     acc=np.stack([zeros[0]] + [f[2] for f in frames[1:]]),
+                     gyro=np.stack([zeros[1]] + [f[3] for f in frames[1:]]),
+                     dts=np.stack([zeros[2]] + [f[4] for f in frames[1:]]))
+        except Exception as e:
+            print(f"frame cache write skipped: {e}", file=sys.stderr)
+        print(f"pre-render {n_total} frames: {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
-    frame1 = bf_fn(gray1, depth1)
-    # Warm up the tracking stages (compile).
+    # ---- warmup: init + IMU init transient + compile everything -----------
+    slam = SlamSystem(cfg)
     t0 = time.time()
-    r1 = T.track_with_motion_model(ms, frame1, res.obs_mp, res.rot, res.t, tcfg)
-    ms2, r2 = T.track_local_map(ms, frame1, r1.obs_mp, r1.rot, r1.t,
-                                jnp.int32(kf_slot), tcfg)
-    jax.block_until_ready(r2.t)
-    print(f"compile(track): {time.time()-t0:.1f}s, inliers {int(r2.n_inliers)}",
-          file=sys.stderr)
+    for (g, d, acc, gyro, dts, t) in frames[:n_warm]:
+        if acc is None:
+            slam.track_rgbd(g, d, t)
+        else:
+            slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
+    st = slam.map_stats()
+    imu_ok = slam.imu.initialized
+    print(f"warmup {n_warm} frames: {time.time()-t0:.1f}s, map {st}, "
+          f"imu_init={imu_ok}", file=sys.stderr)
 
-    # Fused single-dispatch per-frame step (production low-latency path).
+    # ---- timed steady-state loop ------------------------------------------
     t0 = time.time()
-    f3, r3, ms3 = T.fused_track_step(gray1, depth1, ms, res.obs_mp, res.rot,
-                                     res.t, jnp.int32(kf_slot), tcfg, fc)
-    jax.block_until_ready(r3.t)
-    print(f"compile(fused): {time.time()-t0:.1f}s, inliers {int(r3.n_inliers)}",
-          file=sys.stderr)
-
-    # Timed loop: full per-frame device work, N iterations.
-    n = 50
-    grays = [gray0, gray1]
-    depths = [depth0, depth1]
-    t0 = time.time()
-    for i in range(n):
-        g = grays[i % 2]
-        d = depths[i % 2]
-        _, r2, _ = T.fused_track_step(g, d, ms, res.obs_mp, res.rot, res.t,
-                                      jnp.int32(kf_slot), tcfg, fc)
-    jax.block_until_ready(r2.t)
+    for (g, d, acc, gyro, dts, t) in frames[n_warm:]:
+        slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
     dt = time.time() - t0
-    fps = n / dt
-    print(f"{n} frames in {dt:.3f}s -> {fps:.1f} FPS "
-          f"({1000*dt/n:.2f} ms/frame)", file=sys.stderr)
+    fps = n_timed / dt
+    st = slam.map_stats()
+    print(f"steady-state: {n_timed} frames in {dt:.3f}s -> {fps:.1f} FPS "
+          f"({1000*dt/n_timed:.2f} ms/frame), map {st}", file=sys.stderr)
+    for line in slam.timers.summary_lines():
+        print("  " + line, file=sys.stderr)
+
+    # ---- secondary: fused visual hot path ---------------------------------
+    try:
+        tcfg = cfg.track_cfg()
+        ms = slam.ms
+        g, d = frames[-2][0], frames[-2][1]
+        masks = slam._local_window_fn(ms, jnp.int32(slam.ref_kf))
+        args = (jnp.asarray(g, jnp.float32), jnp.asarray(d, jnp.float32), ms,
+                slam.last_obs_mp, slam.cur_rot, slam.cur_t,
+                jnp.int32(slam.ref_kf))
+        _, r, _ = T.fused_track_step(*args, tcfg, fc, local_masks=masks)
+        jax.block_until_ready(r.t)
+        t0 = time.time()
+        n_hot = 50
+        for _ in range(n_hot):
+            _, r, _ = T.fused_track_step(*args, tcfg, fc, local_masks=masks)
+        jax.block_until_ready(r.t)
+        hot = n_hot / (time.time() - t0)
+        print(f"hot-path (fused visual track): {hot:.1f} FPS "
+              f"({1000/hot:.2f} ms/frame)", file=sys.stderr)
+    except Exception as e:
+        print(f"hot-path bench skipped: {e}", file=sys.stderr)
 
     baseline_fps = 60.0
     print(json.dumps({
-        "metric": "rgbd_track_fps_640x480_1000feat",
+        "metric": "rgbd_inertial_slam_fps_640x480_1000feat",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
@@ -107,7 +165,7 @@ if __name__ == "__main__":
         import traceback
         traceback.print_exc()
         print(json.dumps({
-            "metric": "rgbd_track_fps_640x480_1000feat",
+            "metric": "rgbd_inertial_slam_fps_640x480_1000feat",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--out", default="results_synth")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--t0", type=float, default=0.0,
+                    help="timestamp of the first frame (e.g. 1.4e9 to "
+                         "exercise epoch-scale stamps like TUM/EuRoC)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -51,12 +54,12 @@ def main():
     gt, last_t = [], 0.0
     t0 = time.time()
     for i in range(args.frames):
-        t = i / args.fps
-        gray, depth, (rot_cw, t_cw) = seq.frame(t)
+        t = args.t0 + i / args.fps
+        gray, depth, (rot_cw, t_cw) = seq.frame(t - args.t0)
         if args.mode == "mono":
             slam.track_monocular(gray, t)
         elif args.mode == "rgbd_inertial" and i > 0:
-            acc, gyro, dts = seq.imu_between(last_t, t, 32)
+            acc, gyro, dts = seq.imu_between(last_t - args.t0, t - args.t0, 32)
             slam.track_rgbd_inertial(gray, depth, acc, gyro, dts, t)
         elif args.mode == "stereo":
             t_rw = t_cw + jnp.array([-0.1 * cam.fx / cam.fx, 0.0, 0.0])

@@ -46,6 +46,12 @@ class StageTimers:
                       "n": len(v)}
         return out
 
+    def summary_lines(self):
+        """Human-readable per-stage means, sorted by cost."""
+        s = self.summary()
+        return [f"{k}: {v['mean']:.2f} ms (n={v['n']})"
+                for k, v in sorted(s.items(), key=lambda kv: -kv[1]["mean"])]
+
     # -- reference-format outputs ------------------------------------------
 
     TRACK_STAGES = ["ORB_extract", "IMU_integration", "Pose_pred",
