@@ -9,7 +9,7 @@ from geoflowslam_tpu.ops.extractor import OrbConfig
 from geoflowslam_tpu.eval.ate import ate_rmse
 
 
-@pytest.mark.slow
+# fast-tier e2e: kept in the default smoke run
 def test_mono_tracking_ate():
     w, h = 320, 240
     cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)

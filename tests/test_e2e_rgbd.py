@@ -24,7 +24,7 @@ def small_system(w=320, h=240):
     return cam, sys_cfg
 
 
-@pytest.mark.slow
+# fast-tier e2e: kept in the default smoke run
 def test_rgbd_tracking_ate():
     cam, cfg = small_system()
     world = SyntheticWorld(cam)

@@ -29,7 +29,7 @@ def run_variant(n_frames=30, fps=10.0, **cfg_kw):
         if cfg.use_odom:
             from geoflowslam_tpu.io.synthetic import smooth_trajectory
             _, _, v, _, _ = smooth_trajectory(jnp.asarray(t))
-            slam.set_odom(np.asarray(v))
+            slam.set_odom(np.asarray(v), odom_frame=False)  # world-frame GT
         slam.track_rgbd(gray, depth, t)
         twc = np.eye(4)
         rwc = np.asarray(rot_cw).T
