@@ -51,23 +51,33 @@ def main():
     orb = OrbConfig(n_features=1000, n_levels=8, height=cam.height,
                     width=cam.width)
     fc = FrameConfig(orb=orb, lk_levels=4, cloud_stride=4, cloud_max_pts=4096)
-    imu = ImuConfig()
+    # early IMU init so the warmup fits the compile-budget of this host
+    imu = ImuConfig(init_min_kfs=4, init_min_time=0.8)
+    # k=128/m=32k: still hours of sequence at the 0.5 s KF cadence with
+    # culling, but roughly half the (single-core host) compile wall of the
+    # 256/64k default — the bench must finish cold within the driver budget
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=40.0,
-                       frame=fc, imu=imu)      # production k_max/m_max
+                       frame=fc, imu=imu, k_max=128, m_max=32768)
 
     # ---- pre-render the sequence (host-side, excluded from timing) --------
     # rendered on the CPU backend (the TPU tunnel's per-op dispatch latency
     # makes eager rendering slow) and cached on disk across bench runs
-    n_warm, n_timed = 75, 45
+    n_warm, n_timed = 60, 45
+    budget = float(os.environ.get("GEOFLOW_BENCH_BUDGET", 480.0))
+    t_start = time.time()
     n_total = n_warm + n_timed
     t0 = time.time()
     cache = f"/root/.cache/geoflow_bench_frames_{n_total}_{cam.width}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        frames = [(z["gray"][i], z["depth"][i],
-                   z["acc"][i] if i > 0 else None,
-                   z["gyro"][i] if i > 0 else None,
-                   z["dts"][i] if i > 0 else None,
+        # materialize each member ONCE (npz re-reads the whole array on
+        # every __getitem__ of the lazy file handle)
+        gray_a, depth_a = z["gray"], z["depth"]
+        acc_a, gyro_a, dts_a = z["acc"], z["gyro"], z["dts"]
+        frames = [(gray_a[i], depth_a[i],
+                   acc_a[i] if i > 0 else None,
+                   gyro_a[i] if i > 0 else None,
+                   dts_a[i] if i > 0 else None,
                    i / fps_in) for i in range(n_total)]
         print(f"loaded {n_total} cached frames: {time.time()-t0:.1f}s",
               file=sys.stderr)
@@ -105,21 +115,36 @@ def main():
     # ---- warmup: init + IMU init transient + compile everything -----------
     slam = SlamSystem(cfg)
     t0 = time.time()
-    for (g, d, acc, gyro, dts, t) in frames[:n_warm]:
+    for i, (g, d, acc, gyro, dts, t) in enumerate(frames[:n_warm]):
         if acc is None:
             slam.track_rgbd(g, d, t)
         else:
             slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
+        if i % 15 == 0:
+            print(f"  warm {i}: {time.time()-t0:.0f}s "
+                  f"{slam.map_stats()}", file=sys.stderr)
+        if time.time() - t_start > budget:
+            print(f"  warmup over budget at frame {i}; continuing to the "
+                  "timed section with what is compiled", file=sys.stderr)
+            break
     st = slam.map_stats()
     imu_ok = slam.imu.initialized
     print(f"warmup {n_warm} frames: {time.time()-t0:.1f}s, map {st}, "
           f"imu_init={imu_ok}", file=sys.stderr)
 
     # ---- timed steady-state loop ------------------------------------------
+    from geoflowslam_tpu.utils.timers import StageTimers
+    slam.timers = StageTimers()         # stage stats for the timed section only
+    per_frame = []
     t0 = time.time()
     for (g, d, acc, gyro, dts, t) in frames[n_warm:]:
+        tf = time.time()
         slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
+        per_frame.append(time.time() - tf)
     dt = time.time() - t0
+    pf = np.asarray(per_frame) * 1000
+    print(f"per-frame ms: median {np.median(pf):.1f}, p90 "
+          f"{np.percentile(pf, 90):.1f}, max {pf.max():.1f}", file=sys.stderr)
     fps = n_timed / dt
     st = slam.map_stats()
     print(f"steady-state: {n_timed} frames in {dt:.3f}s -> {fps:.1f} FPS "

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,6 +153,7 @@ def _integrate_step(carry, inputs, cov_noise, cov_walk, bias):
     return new_carry, None
 
 
+@jax.jit
 def preintegrate(acc: jnp.ndarray, gyro: jnp.ndarray, dts: jnp.ndarray,
                  bias: jnp.ndarray, calib: ImuCalib) -> Preintegrated:
     """Integrate a padded batch of IMU samples.
@@ -204,7 +207,18 @@ def delta_position(p: Preintegrated, bias: jnp.ndarray) -> jnp.ndarray:
     return p.dP + p.JPg @ dbg + p.JPa @ dba
 
 
+@partial(jax.jit, static_argnames=())
+def _predict_state_jit(rot_wb1, t_wb1, v1, p, bias, gravity):
+    return _predict_state_impl(rot_wb1, t_wb1, v1, p, bias, gravity)
+
+
 def predict_state(rot_wb1, t_wb1, v1, p: Preintegrated, bias: jnp.ndarray,
+                  gravity=GRAVITY):
+    return _predict_state_jit(rot_wb1, t_wb1, v1, p, bias,
+                              jnp.asarray(gravity, jnp.float32))
+
+
+def _predict_state_impl(rot_wb1, t_wb1, v1, p: Preintegrated, bias: jnp.ndarray,
                   gravity=GRAVITY):
     """IMU state propagation (Tracking::PredictStateIMU,
     /root/reference/src/Tracking.cc:1876-1941): world-from-body at frame 2."""

@@ -160,6 +160,95 @@ def smooth_trajectory(t: jnp.ndarray, scale: float = 1.0):
     return rot, p, v, a, w_body
 
 
+def hard_trajectory(t: jnp.ndarray, period: float = 40.0):
+    """Hard-mode analytic trajectory: a large loop around the room that
+    revisits its start every `period` seconds (loop-closure opportunities),
+    with a high-frequency rotation component (fast-rotation stress) layered
+    on the look-around. Exact analytic derivatives for IMU generation.
+
+    Returns (R_wc, p_w, v_w, a_w, w_body) like smooth_trajectory."""
+    om = 2.0 * jnp.pi / period
+    # circular sweep in x-z + gentle vertical bob (stays inside the room)
+    p = jnp.stack([
+        1.6 * jnp.sin(om * t),
+        0.4 * jnp.sin(3.0 * om * t + 1.0),
+        1.6 * jnp.cos(om * t) + 0.8,
+    ], axis=-1)
+    v = jnp.stack([
+        1.6 * om * jnp.cos(om * t),
+        1.2 * om * jnp.cos(3.0 * om * t + 1.0),
+        -1.6 * om * jnp.sin(om * t),
+    ], axis=-1)
+    a = jnp.stack([
+        -1.6 * om * om * jnp.sin(om * t),
+        -3.6 * om * om * jnp.sin(3.0 * om * t + 1.0),
+        -1.6 * om * om * jnp.cos(om * t),
+    ], axis=-1)
+    # yaw sweep + fast-rotation bursts (the 1.9 rad/s component peaks at
+    # ~0.5 rad/s angular rate — fast for a 30 fps camera)
+    phi = jnp.stack([
+        0.12 * jnp.sin(0.31 * t),
+        0.35 * jnp.sin(om * 2.0 * t) + 0.25 * jnp.sin(1.9 * t),
+        0.06 * jnp.sin(0.21 * t),
+    ], axis=-1)
+    phi_dot = jnp.stack([
+        0.12 * 0.31 * jnp.cos(0.31 * t),
+        0.35 * 2.0 * om * jnp.cos(om * 2.0 * t) + 0.25 * 1.9 * jnp.cos(1.9 * t),
+        0.06 * 0.21 * jnp.cos(0.21 * t),
+    ], axis=-1)
+    rot = lie.so3_exp(phi)
+    w_body = jnp.einsum("...ij,...j->...i", lie.so3_right_jacobian(phi),
+                        phi_dot)
+    return rot, p, v, a, w_body
+
+
+def contrast_schedule(t, period: float = 40.0):
+    """Texture contrast multiplier in [0.12, 1]: two low-texture windows per
+    loop (the hard-mode 'blank wall' segments)."""
+    s = 0.5 * (1.0 + np.cos(2.0 * np.pi * 2.0 * t / period))
+    return 0.12 + 0.88 * float(s) ** 6
+
+
+class HardSyntheticSequence:
+    """Hard-mode sequence (the standing parity benchmark in lieu of real
+    datasets, PARITY.md): loop revisits every `period` s, fast-rotation
+    bursts, and periodic texture-poor segments (contrast crushed towards the
+    mean — depth is unaffected, so ICP/odometry paths keep information like
+    on a real blank wall)."""
+
+    def __init__(self, world: SyntheticWorld, fps: float = 30.0,
+                 imu_rate: float = 200.0, period: float = 40.0):
+        self.world = world
+        self.fps = fps
+        self.imu_rate = imu_rate
+        self.period = period
+        self._render = jax.jit(world.render)
+
+    def pose_cw(self, t: float):
+        rot_wc, p, *_ = hard_trajectory(jnp.asarray(t), self.period)
+        rot_cw = rot_wc.T
+        return rot_cw, -rot_cw @ p
+
+    def frame(self, t: float):
+        rot_cw, t_cw = self.pose_cw(t)
+        gray, depth = self._render(rot_cw, t_cw)
+        c = contrast_schedule(t, self.period)
+        if c < 0.999:
+            gray = 110.0 + (gray - 110.0) * c
+        return gray, depth, (rot_cw, t_cw)
+
+    def imu_between(self, t0: float, t1: float, max_samples: int):
+        dt = 1.0 / self.imu_rate
+        n = max(int(round((t1 - t0) * self.imu_rate)), 0)
+        ts = t0 + (jnp.arange(max_samples) + 0.5) * dt
+        rot_wb, _, _, a_w, w_body = hard_trajectory(ts, self.period)
+        acc_b = jnp.einsum("sij,sj->si", jnp.swapaxes(rot_wb, -1, -2),
+                           a_w - GRAVITY)
+        dts = jnp.where(jnp.arange(max_samples) < n, dt, 0.0)
+        return (acc_b.astype(jnp.float32), w_body.astype(jnp.float32),
+                dts.astype(jnp.float32))
+
+
 class SyntheticSequence:
     """Generates frames + IMU for a camera flying `smooth_trajectory`.
 

@@ -75,6 +75,9 @@ class InertialTracker:
         self.viba2_done = False
         self.seg_capacity = 512                        # padded KF-segment size
         self._chunks: List[tuple] = []                 # raw samples since last KF
+        # constant VI-BA walk information (host; avoids a per-KF eager inv)
+        self.walk_info = np.linalg.inv(
+            np.asarray(self.calib.cov_walk) + 1e-12 * np.eye(6))
 
     @property
     def pending(self):
@@ -158,9 +161,16 @@ class InertialTracker:
     # -- keyframe hooks ----------------------------------------------------
 
     def on_keyframe(self, kf_slot: int):
-        """Bind the pending preintegration to the new KF and reset it."""
-        if self.pending is not None:
-            self.kf_preints[kf_slot] = self.pending
+        """Bind the pending preintegration to the new KF and reset it.
+
+        The preintegration is stored as a HOST-numpy pytree (one device_get
+        here) so the per-KF window stacking (build_segments) is pure numpy —
+        on the tunneled TPU every stray eager op costs a network round-trip,
+        and the old device-side stacking was ~100 dispatches per KF."""
+        p = self.pending
+        if p is not None:
+            self.kf_preints[kf_slot] = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(p))
         self.kf_order.append(kf_slot)
         self.pending = None
 
@@ -189,9 +199,9 @@ class InertialTracker:
                   ("dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa",
                    "info9", "walk_info", "dt", "bias0")}
         valid = []
-        eye9 = jnp.eye(9)
-        eye6 = jnp.eye(6)
-        ident = pre.Preintegrated.identity(1)
+        eye9 = np.eye(9, dtype=np.float32)
+        ident = jax.tree_util.tree_map(np.asarray,
+                                       jax.device_get(pre.Preintegrated.identity(1)))
         for i in range(n):
             s = slots[i + 1]
             p = self.kf_preints.get(s)
@@ -204,18 +214,21 @@ class InertialTracker:
             fields["JPg"].append(p.JPg); fields["JPa"].append(p.JPa)
             # covariance floor = integration noise; keeps the information
             # finite when the window is short / motion is smooth
-            fields["info9"].append(jnp.linalg.inv(p.cov[:9, :9] + 1e-6 * eye9))
+            cov = np.asarray(p.cov)
+            fields["info9"].append(np.linalg.inv(cov[:9, :9] + 1e-6 * eye9))
             # segment bias random walk: cov accumulated over the segment's
             # samples (p.cov[9:15]); per-sample cov here would be ~100x too
             # much information and wrecks f32 conditioning
             fields["walk_info"].append(
-                jnp.linalg.inv(p.cov[9:15, 9:15] + 1e-10 * eye6))
+                np.linalg.inv(cov[9:15, 9:15]
+                              + 1e-10 * np.eye(6, dtype=np.float32)))
             fields["dt"].append(p.dt)
             fields["bias0"].append(p.bias)
             valid.append(ok)
         return ImuSegments(
-            **{k: jnp.stack(v) for k, v in fields.items()},
-            valid=jnp.asarray(valid))
+            **{k: np.stack([np.asarray(x, np.float32) for x in v])
+               for k, v in fields.items()},
+            valid=np.asarray(valid))
 
     # -- initialization ----------------------------------------------------
 

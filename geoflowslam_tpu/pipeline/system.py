@@ -80,6 +80,8 @@ class SystemConfig:
     r_odom_cam: Optional[tuple] = None  # T_odom_w: odom->camera rotation
                                         # (Settings::getRodom2cam, 3x3 row-major)
     max_frame_gap: float = 1.0          # timestamp-jump reset (Tracking.cc:2066)
+    record_reproj_err: bool = False     # per-frame reprojection-error dumps
+                                        # (SaveFrame2FrameReprojErr parity)
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -131,6 +133,10 @@ class SlamSystem:
         self._last_kf_time = 0.0
 
         self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
+        # per-frame reprojection stats (mFrame2FrameReprojErr /
+        # mFrame2MapReprojErr analogues, include/Tracking.h:430)
+        self.f2f_reproj: List[Tuple[float, float, int]] = []
+        self.f2m_reproj: List[Tuple[float, float, int]] = []
         from geoflowslam_tpu.utils.timers import StageTimers
         self.timers = StageTimers()
         self.imu = InertialTracker(cfg.imu) if cfg.imu is not None else None
@@ -457,6 +463,13 @@ class SlamSystem:
                 self._vi_prior = None
 
         self.debug_inliers = (n1, n2)
+        if self.cfg.record_reproj_err:
+            e1 = T.mean_reproj_error(self.ms, frame, res.obs_mp, res.rot,
+                                     res.t, self.tcfg)
+            e2 = T.mean_reproj_error(self.ms, frame, res2.obs_mp, res2.rot,
+                                     res2.t, self.tcfg)
+            self.f2f_reproj.append((timestamp, float(e1), n1))
+            self.f2m_reproj.append((timestamp, float(e2), n2))
         if n2 >= self.cfg.min_inliers_ok:
             self.state = TrackingState.OK
             self.lost_since = None
@@ -770,6 +783,39 @@ class SlamSystem:
                 "live KFs of the active map and none is redundant enough to "
                 "cull. Raise SystemConfig.k_max for this sequence length.")
 
+    def _run_vi_ba(self, slots, kw: int):
+        """vi_ba_step on a FIXED padded window size: `slots` (oldest-first,
+        len <= kw) is end-padded with the out-of-range sentinel k_max, so the
+        jitted VI-BA compiles exactly once per kw (8 regular / 16 VIBA-wide /
+        10 init) instead of once per window length — sentinel reads clamp,
+        sentinel scatter writes drop, and the slot-valid mask plus the
+        naturally-missing preintegration gate the padded rows out."""
+        kw_real = len(slots)
+        sentinel = self.cfg.k_max
+        slots_p = list(slots) + [sentinel] * (kw - kw_real)
+        segs = self.imu.build_segments(slots_p)
+        icp = None
+        if self.cfg.use_icp and self._kf_icp_rel:
+            from geoflowslam_tpu.solvers.inertial_ba import RelPoseFactors
+            rots, ts, infos = [], [], []
+            for i in range(kw - 1):
+                rel = self._kf_icp_rel.get(slots_p[i + 1])
+                if rel is not None and rel[2] == slots_p[i]:
+                    rots.append(np.asarray(rel[0])); ts.append(np.asarray(rel[1]))
+                    infos.append(1e3)
+                else:
+                    rots.append(np.eye(3, dtype=np.float32))
+                    ts.append(np.zeros(3, np.float32))
+                    infos.append(0.0)
+            icp = RelPoseFactors(rot=np.stack(rots), t=np.stack(ts),
+                                 info=np.asarray(infos, np.float32))
+        self.ms, _ = LM.vi_ba_step(
+            self.ms, np.asarray(slots_p, np.int32),
+            np.array([i < kw_real for i in range(kw)]), segs,
+            self.imu.r_cb, self.imu.t_cb,
+            np.asarray(self.imu.walk_info, np.float32),
+            self.mcfg, kw, icp=icp)
+
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
         _t_kf = __import__("time").perf_counter()
@@ -800,14 +846,7 @@ class SlamSystem:
                     # poses/velocities/biases/points over the init window
                     slots0 = self.imu.contiguous_window(10)
                     if len(slots0) >= 3:
-                        segs0 = self.imu.build_segments(slots0)
-                        self.ms, _ = LM.vi_ba_step(
-                            self.ms, jnp.asarray(slots0, jnp.int32),
-                            jnp.ones((len(slots0),), bool), segs0,
-                            self.imu.r_cb, self.imu.t_cb,
-                            jnp.linalg.inv(self.imu.calib.cov_walk
-                                           + 1e-12 * jnp.eye(6)),
-                            self.mcfg, len(slots0))
+                        self._run_vi_ba(slots0, 10)
                     # map was re-rotated/scaled: refresh pose + body state
                     self.cur_rot = self.ms.kf_rot[kf_slot]
                     self.cur_t = self.ms.kf_t[kf_slot]
@@ -863,31 +902,8 @@ class SlamSystem:
                     kw_target = 16
                     self.imu.viba2_done = True
                 slots = self.imu.contiguous_window(kw_target)
-                kw = len(slots)
-                if kw >= 3:
-                    segs = self.imu.build_segments(slots)
-                    icp = None
-                    if self.cfg.use_icp and self._kf_icp_rel:
-                        from geoflowslam_tpu.solvers.inertial_ba import RelPoseFactors
-                        rots, ts, infos = [], [], []
-                        for i in range(kw - 1):
-                            rel = self._kf_icp_rel.get(slots[i + 1])
-                            if rel is not None and rel[2] == slots[i]:
-                                rots.append(rel[0]); ts.append(rel[1])
-                                infos.append(1e3)
-                            else:
-                                rots.append(jnp.eye(3)); ts.append(jnp.zeros(3))
-                                infos.append(0.0)
-                        icp = RelPoseFactors(rot=jnp.stack(rots),
-                                             t=jnp.stack(ts),
-                                             info=jnp.asarray(infos))
-                    self.ms, _ = LM.vi_ba_step(
-                        self.ms, jnp.asarray(slots, jnp.int32),
-                        jnp.ones((kw,), bool), segs,
-                        self.imu.r_cb, self.imu.t_cb,
-                        jnp.linalg.inv(self.imu.calib.cov_walk
-                                       + 1e-12 * jnp.eye(6)),
-                        self.mcfg, kw, icp=icp)
+                if len(slots) >= 3:
+                    self._run_vi_ba(slots, kw_target)
                     ran_vi = True
             if not ran_vi:
                 self.ms, _ = LM.local_ba_step(self.ms, jnp.int32(kf_slot), self.mcfg)
@@ -1049,6 +1065,13 @@ class SlamSystem:
         save_trajectory_tum(
             os.path.join(save_dir, "KeyFrameTrajectory.txt"),
             keyframe_trajectory(self.ms, time_base=self.time_base or 0.0))
+        for name, rows in (("Frame2FrameReprojErr.txt", self.f2f_reproj),
+                           ("Frame2MapReprojErr.txt", self.f2m_reproj)):
+            if rows:
+                with open(os.path.join(save_dir, name), "w") as f:
+                    f.write("#t mean_err_px n_inliers\n")
+                    for t, e, n in rows:
+                        f.write(f"{t:.6f} {e:.4f} {n}\n")
 
     def map_stats(self):
         return {

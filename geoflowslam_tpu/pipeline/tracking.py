@@ -296,6 +296,22 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
     return ms, TrackResult(rot2, t2, final_obs, n_inl)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def mean_reproj_error(ms: M.MapState, frame: FrameData, obs_mp, rot, t,
+                      cfg: TrackConfig):
+    """Mean pixel reprojection error over the frame's bound map points
+    (the reference's per-frame mFrame2FrameReprojErr / mFrame2MapReprojErr
+    bookkeeping, /root/reference/src/Tracking.cc:2468-2526)."""
+    feat = frame.feat
+    has = (obs_mp >= 0) & feat.valid & ms.mp_valid[jnp.maximum(obs_mp, 0)]
+    pts = ms.mp_pos[jnp.maximum(obs_mp, 0)]
+    uv, z, in_img = _project(rot, t, pts, cfg)
+    err = jnp.linalg.norm(uv - feat.uv, axis=1)
+    ok = has & (z > 0.1)
+    return jnp.sum(jnp.where(ok, err, 0.0)) / jnp.maximum(
+        jnp.sum(ok.astype(jnp.float32)), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Fused per-frame step (bench / low-latency path)
 # ---------------------------------------------------------------------------

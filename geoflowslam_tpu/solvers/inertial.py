@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +90,7 @@ def _reproj_residual_body(s: BodyState, obs: PoseObs, r_cb, t_cb,
     return r, z
 
 
+@partial(jax.jit, static_argnames=("rounds", "iters", "return_info"))
 def inertial_pose_optimization(
     s2: BodyState, s1: BodyState, preint: pre.Preintegrated,
     obs: PoseObs, r_cb, t_cb, fx, fy, cx, cy, bf=0.0,
@@ -217,6 +220,7 @@ def _prior_tangent(s: BodyState, mean: BodyState) -> jnp.ndarray:
                             s.ba - mean.ba])
 
 
+@partial(jax.jit, static_argnames=("rounds", "iters"))
 def inertial_pose_optimization_joint(
     s2: BodyState, s1: BodyState, prior_info: jnp.ndarray,
     preint: pre.Preintegrated, obs: PoseObs, r_cb, t_cb,
