@@ -1,0 +1,165 @@
+"""Single-dispatch production frame step.
+
+The reference hides its per-frame latency in threads; the TPU-native answer
+(SURVEY §7: "minimize host-device syncs — single fused step, scalar outputs
+only") is to compile the WHOLE per-frame pipeline into one XLA program:
+
+    IMU preintegration -> state prediction (IMU or motion model)
+    -> frame build (CLAHE + pyramid + FAST + rBRIEF + depth)
+    -> motion-model projection tracking -> local-map tracking
+    -> VI pose refinement (LastKeyFrame / LastFrame-joint variants)
+    -> acceptance gating + motion-model update + body-state update
+
+One device dispatch + one scalar read-back per frame, instead of the staged
+path's ~8 dispatches and ~4 syncs — on a tunneled TPU every round trip is
+milliseconds, and on a local chip this also lets XLA overlap stage memory
+traffic. The host keeps only the branchy recovery logic (fallback searches,
+relocalization, KF policy), which it enters only when the returned inlier
+count is low (rare).
+
+Mirrors Tracking::Track's hot path (/root/reference/src/Tracking.cc:2042):
+PreintegrateIMU :1724, PredictStateIMU :1876, TrackWithMotionModel :3466,
+TrackLocalMap :3729, PoseInertialOptimizationLastFrame/KeyFrame.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from geoflowslam_tpu.math import lie
+from geoflowslam_tpu.imu import preintegration as pre
+from geoflowslam_tpu.solvers import inertial as VI
+from geoflowslam_tpu.solvers import pose_opt as PO
+from geoflowslam_tpu.state import map_state as M
+from geoflowslam_tpu.state.frame import build_frame
+from geoflowslam_tpu.pipeline import tracking as T
+
+
+class FusedOut(NamedTuple):
+    frame: object            # FrameData (for host fallbacks / KF insertion)
+    rot: jnp.ndarray         # final Tcw
+    t: jnp.ndarray
+    obs_mp: jnp.ndarray      # [N] final per-keypoint map-point binding
+    ms: object               # MapState with updated found/visible counters
+    vel_rot: jnp.ndarray     # updated motion model Tcl
+    vel_t: jnp.ndarray
+    p_frame: Optional[object]    # frame-gap preintegration (imu modes)
+    body: Optional[object]       # updated BodyState (imu init modes)
+    marg: Optional[jnp.ndarray]  # marginal info for the next frame's prior
+    scalars: jnp.ndarray     # [4] int32: n_mm, n_lm, n_vi, vi_accepted
+    twc: jnp.ndarray         # [3,4] camera-to-world (trajectory recording)
+    bias_out: Optional[jnp.ndarray]  # [6] updated (bg, ba) in imu modes
+
+
+def _tree_where(c, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(
+            jnp.reshape(c, (1,) * x.ndim) if x.ndim else c, x, y), a, b)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fcfg", "imu_mode", "min_inliers"))
+def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
+               vel_rot, vel_t, use_vel, cur_rot, cur_t, ref_kf, local_masks,
+               acc, gyro, dts, body, bias, prior_info, r_cb, t_cb, calib,
+               cfg: T.TrackConfig, fcfg, imu_mode: str, min_inliers: int):
+    """One fused frame. imu_mode:
+      "off"   — visual only (acc/gyro/body/... may be None)
+      "raw"   — IMU present but uninitialized: preintegrate only
+      "kf"    — IMU initialized, last state map-anchored
+                (PoseInertialOptimizationLastKeyFrame; returns the marginal)
+      "prior" — frame-to-frame joint solve with the marginalized prior
+                (PoseInertialOptimizationLastFrame)
+    """
+    # ---- IMU preintegration + prediction ---------------------------------
+    p_frame = None
+    if imu_mode != "off":
+        p_frame = pre.preintegrate(acc, gyro, dts, bias, calib)
+    if imu_mode in ("kf", "prior"):
+        r_wb2, p2, v2 = pre.predict_state(body.r_wb, body.p, body.v,
+                                          p_frame, bias)
+        pred_body = VI.BodyState(r_wb=r_wb2, p=p2, v=v2,
+                                 bg=bias[:3], ba=bias[3:])
+        pr, pt = VI.cam_pose_from_body(pred_body, r_cb, t_cb)
+    else:
+        pred_body = None
+        vr, vt = lie.se3_compose(vel_rot, vel_t, cur_rot, cur_t)
+        pr = jnp.where(use_vel, vr, cur_rot)
+        pt = jnp.where(use_vel, vt, cur_t)
+
+    # ---- frame build + visual tracking -----------------------------------
+    frame = build_frame(gray, depth, fcfg, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    res = T.track_with_motion_model.__wrapped__(
+        ms, frame, last_obs_mp, pr, pt, cfg, last_levels=last_levels)
+    ms2, res2 = T.track_local_map.__wrapped__(
+        ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg,
+        local_masks=local_masks)
+
+    # ---- VI refinement + acceptance --------------------------------------
+    rot_f, t_f, obs_f = res2.rot, res2.t, res2.obs_mp
+    n_vi = jnp.int32(-1)
+    accept = jnp.zeros((), bool)
+    body_out = None
+    marg = None
+    if imu_mode in ("kf", "prior"):
+        s1 = body
+
+        def body_from_cam(rot_cw, t_cw, v):
+            # InertialTracker.body_from_cam: T_wb = T_wc ∘ T_cb
+            r_wc = rot_cw.T
+            return VI.BodyState(r_wb=r_wc @ r_cb, p=r_wc @ (t_cb - t_cw),
+                                v=v, bg=bias[:3], ba=bias[3:])
+
+        # body state at the visually-optimized pose, IMU-predicted velocity
+        s2_vis = body_from_cam(res2.rot, res2.t, pred_body.v)
+        has = res2.obs_mp >= 0
+        mp_idx = jnp.maximum(res2.obs_mp, 0)
+        feat = frame.feat
+        valid = has & ms2.mp_valid[mp_idx] & feat.valid
+        obs = PO.PoseObs(
+            pts_w=ms2.mp_pos[mp_idx], uv=feat.uv, u_right=frame.u_right,
+            is_stereo=valid & (frame.u_right > 0),
+            inv_sigma2=1.0 / (cfg.scale_factor
+                              ** feat.level.astype(jnp.float32)) ** 2,
+            valid=valid)
+        if imu_mode == "kf":
+            s2, inl, n_vi, marg = VI.inertial_pose_optimization(
+                s2_vis, s1, p_frame, obs, r_cb, t_cb,
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, calib=calib,
+                rounds=2, iters=6, return_info=True)
+        else:
+            s2, inl, n_vi, marg = VI.inertial_pose_optimization_joint(
+                s2_vis, s1, prior_info, p_frame, obs, r_cb, t_cb,
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, rounds=2, iters=6)
+        rot_vi, t_vi = VI.cam_pose_from_body(s2, r_cb, t_cb)
+        n2i = res2.n_inliers
+        accept = (n_vi >= jnp.maximum(jnp.int32(min_inliers),
+                                      (n2i.astype(jnp.float32) * 0.5)
+                                      .astype(jnp.int32)))
+        rot_f = jnp.where(accept, rot_vi, res2.rot)
+        t_f = jnp.where(accept, t_vi, res2.t)
+        obs_f = jnp.where(accept, jnp.where(inl, res2.obs_mp, -1),
+                          res2.obs_mp)
+        # body state: accepted VI state, else re-derived from the visual
+        # pose with finite-difference velocity (_update_body_state parity)
+        p_vis = rot_f.T @ (t_cb - t_f)
+        dt_g = jnp.maximum(p_frame.dt, 1e-4)
+        v_fd = (p_vis - s1.p) / dt_g
+        body_vis = body_from_cam(rot_f, t_f, v_fd)
+        body_out = _tree_where(accept, s2, body_vis)
+
+    # ---- motion model update (Tcl = Tcw ∘ Tlw^-1) ------------------------
+    lri, lti = lie.se3_inverse(cur_rot, cur_t)
+    nvr, nvt = lie.se3_compose(rot_f, t_f, lri, lti)
+
+    rwc = rot_f.T
+    twc = jnp.concatenate([rwc, (-(rwc @ t_f))[:, None]], axis=1)
+    bias_out = (jnp.concatenate([body_out.bg, body_out.ba])
+                if body_out is not None else None)
+    scalars = jnp.stack([res.n_inliers, res2.n_inliers, n_vi,
+                         accept.astype(jnp.int32)])
+    return FusedOut(frame=frame, rot=rot_f, t=t_f, obs_mp=obs_f, ms=ms2,
+                    vel_rot=nvr, vel_t=nvt, p_frame=p_frame, body=body_out,
+                    marg=marg, scalars=scalars, twc=twc, bias_out=bias_out)

@@ -80,6 +80,10 @@ class SystemConfig:
     r_odom_cam: Optional[tuple] = None  # T_odom_w: odom->camera rotation
                                         # (Settings::getRodom2cam, 3x3 row-major)
     max_frame_gap: float = 1.0          # timestamp-jump reset (Tracking.cc:2066)
+    fused_sync_stride: int = 4          # fused path: read decision scalars
+                                        # every N frames (tunnel round trips
+                                        # are the latency floor; KF cadence
+                                        # is time-driven and still exact)
     record_reproj_err: bool = False     # per-frame reprojection-error dumps
                                         # (SaveFrame2FrameReprojErr parity)
 
@@ -168,6 +172,9 @@ class SlamSystem:
         # local-window cache: recomputed once per map mutation, not per frame
         self._local_masks = None
         self._last_levels = None   # last frame's keypoint octaves
+        # fused-path frame pipeline (depth 1): deferred host decisions
+        self._pending_frames: list = []
+        self._last_pose_wc = np.eye(4)
         # interleaved background global BA (LoopClosing's detached GBA
         # thread re-expressed as per-frame micro-steps, local_mapping.AsyncGBA)
         self._gba = LM.AsyncGBA(self.mcfg) if cfg.loop is not None else None
@@ -177,6 +184,8 @@ class SlamSystem:
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
     def track_rgbd(self, gray, depth, timestamp: float):
+        if self._can_fuse():
+            return self._track_fused(gray, depth, None, None, None, timestamp)
         with self.timers.time("ORB_extract"):
             frame = self._build_frame(jnp.asarray(gray, jnp.float32),
                                       jnp.asarray(depth, jnp.float32))
@@ -213,12 +222,206 @@ class SlamSystem:
         """System::TrackRGBD with IMU measurements (GrabImuData +
         PreintegrateIMU + PredictStateIMU + VI pose optimization)."""
         assert self.imu is not None
+        if self._can_fuse():
+            return self._track_fused(gray, depth, acc, gyro, dts, timestamp)
         self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts)
         frame = self._build_frame(jnp.asarray(gray, jnp.float32),
                                   jnp.asarray(depth, jnp.float32))
         return self._track(frame, timestamp)
 
     # -- internals ---------------------------------------------------------
+
+    def _can_fuse(self) -> bool:
+        """Use the single-dispatch production step (pipeline/fused.py) when
+        the frame needs no host-interleaved feature (OF/ICP/lidar append
+        observations or priors mid-pipeline) and tracking is healthy."""
+        return (self.state == TrackingState.OK
+                and not (self.cfg.use_of or self.cfg.use_icp
+                         or self.cfg.use_lidar)
+                and not self.cfg.record_reproj_err
+                and not getattr(self, "_localization_only", False)
+                and self.last_obs_mp is not None)
+
+    def _track_fused(self, gray, depth, acc, gyro, dts, timestamp: float):
+        """One fused device dispatch + one host read-back per frame
+        (SURVEY §7 latency design); falls back to the staged path when the
+        returned inlier count is low. Timestamp guards as in _track."""
+        from geoflowslam_tpu.pipeline import fused as FU
+
+        self._t_rel(timestamp)
+        if self.n_frames > 0:
+            if timestamp < self.last_time:
+                from geoflowslam_tpu.utils.verbose import warn
+                warn("Frame timestamp older than previous frame — "
+                     "resetting active map")
+                self.reset_active_map()
+                return self.current_pose_wc()
+            if (self.imu is not None
+                    and timestamp - self.last_time > self.cfg.max_frame_gap):
+                from geoflowslam_tpu.utils.verbose import warn
+                warn(f"timestamp jump of {timestamp - self.last_time:.2f}s "
+                     "with IMU — map recovery")
+                if self.imu.initialized:
+                    self._reset_or_new_map(None, timestamp)
+                else:
+                    self.reset_active_map()
+                return self.current_pose_wc()
+
+        imu = self.imu
+        if imu is None or acc is None:
+            mode = "off"
+        elif not imu.initialized or imu.body is None:
+            mode = "raw"
+        elif getattr(self, "_vi_prior", None) is None:
+            mode = "kf"
+        else:
+            mode = "prior"
+
+        if self._local_masks is None:
+            self._local_masks = self._local_window_fn(
+                self.ms, jnp.int32(self.ref_kf))
+        n_kp = self.ms.n_kp
+        last_levels = (self._last_levels if self._last_levels is not None
+                       else np.zeros((n_kp,), np.int32))
+        ms_before = self.ms
+
+        with self.timers.time("Track_total"):
+            out = FU.frame_step(
+                jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+                self.ms, self.last_obs_mp, last_levels,
+                self.vel[0], self.vel[1], np.bool_(self.has_vel),
+                self.cur_rot, self.cur_t, np.int32(self.ref_kf),
+                self._local_masks,
+                None if mode == "off" else np.asarray(acc, np.float32),
+                None if mode == "off" else np.asarray(gyro, np.float32),
+                None if mode == "off" else np.asarray(dts, np.float32),
+                imu.body if mode in ("kf", "prior") else None,
+                imu.bias if mode != "off" else None,
+                self._vi_prior if mode == "prior" else None,
+                imu.r_cb if mode != "off" else None,
+                imu.t_cb if mode != "off" else None,
+                imu.calib if mode != "off" else None,
+                self.tcfg, self.cfg.frame, mode, self.cfg.min_inliers_ok)
+
+        if mode != "off":
+            imu._chunks.append((acc, gyro, dts))   # pending KF segment
+            self._p_frame = out.p_frame
+
+        # Optimistically adopt the device FUTURES as the new tracking state:
+        # the next frame's dispatch chains on them without any host sync
+        # (the reference hides the same latency behind its thread pipeline,
+        # SURVEY §2.3 "stage pipelining").
+        self.ms = out.ms
+        self.cur_rot, self.cur_t = out.rot, out.t
+        self.last_obs_mp = out.obs_mp
+        self.vel = (out.vel_rot, out.vel_t)
+        self.has_vel = True
+        if mode in ("kf", "prior"):
+            imu.body = out.body
+            imu.bias = out.bias_out          # future; == old bias if rejected
+            self._vi_prior = out.marg        # cleared on readback if rejected
+        self._last_levels = out.frame.feat.level
+        self.last_time = timestamp
+        self.n_frames += 1
+
+        # enqueue the host decision work; process the previous frame's entry
+        # now — its computation overlapped this frame's dispatch. Decision
+        # scalars are read only every `fused_sync_stride` frames or when the
+        # inertial KF cadence is due: the tunnel round trip (~30 ms) is the
+        # per-frame latency floor otherwise. Non-sync frames keep their pose
+        # as a device future, converted in bulk at the next flush.
+        self._fused_idx = getattr(self, "_fused_idx", 0) + 1
+        kf_due = (self.imu is not None
+                  and timestamp - self._last_kf_time >= 0.5) or \
+            (self.imu is None
+             and self.frames_since_kf + len(self._pending_frames)
+             >= self.cfg.kf_max_interval)
+        sync = (self._fused_idx % max(self.cfg.fused_sync_stride, 1) == 0
+                or kf_due)
+        self._pending_frames.append(
+            dict(out=out, ts=timestamp, mode=mode, ms_before=ms_before,
+                 sync=sync))
+        if len(self._pending_frames) > 1:
+            self._process_pending(self._pending_frames.pop(0))
+        return self._last_pose_wc
+
+    def _process_pending(self, ent):
+        """Deferred per-frame host decisions: scalar read-back, trajectory,
+        KF policy, VI-acceptance bookkeeping, failure recovery, GBA step."""
+        out, timestamp, mode = ent["out"], ent["ts"], ent["mode"]
+        imu = self.imu
+        if not ent.get("sync", True):
+            # light frame: no read-back; pose stays a device future
+            self.frames_since_kf += 1
+            self.trajectory.append((timestamp, out.twc))
+            return
+        sc, twc34 = jax.device_get((out.scalars, out.twc))
+        n1, n2, n_vi, vi_ok = (int(x) for x in sc)
+        n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
+
+        if n_final < self.cfg.min_inliers_ok:
+            # rewind to the pre-frame state and run the staged recovery on
+            # this frame; any younger pipelined frame was computed from the
+            # bad state — drop its results (one lost frame, as a dropped
+            # frame in the reference's queue)
+            self.ms = ent["ms_before"]
+            if mode in ("kf", "prior"):
+                self._vi_state = None
+                self._vi_prior = None
+                imu.bias = out.p_frame.bias if out.p_frame is not None \
+                    else imu.bias
+            self._pending_frames.clear()
+            self._track_frame(out.frame, timestamp)
+            self._record_pose(timestamp)
+            self._last_pose_wc = self.current_pose_wc()
+            return
+
+        self.state = TrackingState.OK
+        self.lost_since = None
+        if mode in ("kf", "prior") and not vi_ok:
+            self._vi_prior = None
+        self.frames_since_kf += 1
+        if self._need_new_keyframe(out.frame, n_final, timestamp):
+            # KF lands one frame behind tracking — the reference's async
+            # LocalMapping has the same lag by design
+            self._insert_keyframe(out.frame, timestamp, T.TrackResult(
+                out.rot, out.t, out.obs_mp, sc[1]))
+
+        if self._gba is not None and self._gba.active:
+            if self._gba.step():
+                r_ref_old = self.ms.kf_rot[self.ref_kf]
+                t_ref_old = self.ms.kf_t[self.ref_kf]
+                self.ms = self._gba.finish(self.ms)
+                ri, ti = lie.se3_inverse(r_ref_old, t_ref_old)
+                dr, dt_ = lie.se3_compose(
+                    ri, ti, self.ms.kf_rot[self.ref_kf],
+                    self.ms.kf_t[self.ref_kf])
+                self.cur_rot, self.cur_t = lie.se3_compose(
+                    self.cur_rot, self.cur_t, dr, dt_)
+                self.has_vel = False
+                if imu is not None and imu.body is not None:
+                    imu.body = imu.body_from_cam(
+                        self.cur_rot, self.cur_t, v=imu.body.v)
+                self._local_masks = None
+
+        twc = np.eye(4)
+        twc[:3, :4] = np.asarray(twc34, np.float64)
+        self.trajectory.append((timestamp, twc))
+        self._last_pose_wc = twc
+
+    def _flush_pending(self):
+        """Drain the frame pipeline (before staged-path entry, state reads,
+        persistence, shutdown) and materialize any device-future poses."""
+        while self._pending_frames:
+            self._process_pending(self._pending_frames.pop(0))
+        pend = [(i, p) for i, (_, p) in enumerate(self.trajectory)
+                if not isinstance(p, np.ndarray)]
+        if pend:
+            got = jax.device_get([p for _, p in pend])   # one batched fetch
+            for (i, _), arr in zip(pend, got):
+                m = np.eye(4)
+                m[:3, :4] = np.asarray(arr, np.float64)
+                self.trajectory[i] = (self.trajectory[i][0], m)
 
     def _t_rel(self, timestamp: float) -> float:
         """Offset seconds from the session time base (f64 host subtraction;
@@ -228,6 +431,7 @@ class SlamSystem:
         return float(timestamp) - self.time_base
 
     def _track(self, frame: FrameData, timestamp: float):
+        self._flush_pending()
         self._t_rel(timestamp)  # pin the base at the first frame
         # runtime guards (Tracking::Track :2053-2095): non-monotonic stamps
         # reset the active map; a large gap with an IMU either resets (not
@@ -1002,6 +1206,7 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset: wipe the whole Atlas and restart."""
+        self._pending_frames.clear()
         n_kp_total = self.cfg.frame.orb.n_features + self.cfg.frame.n_of_slots
         self.ms = M.create(self.cfg.k_max, n_kp_total, self.cfg.m_max)
         self.state = TrackingState.NOT_INITIALIZED
@@ -1016,6 +1221,7 @@ class SlamSystem:
     def reset_active_map(self):
         """System::ResetActiveMap: drop only the active map's contents and
         reinitialize in a fresh Atlas map."""
+        self._pending_frames.clear()
         self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
@@ -1026,6 +1232,7 @@ class SlamSystem:
 
     def save_atlas(self, path: str):
         """System::SaveAtlas analogue (npz + vocabulary checksum gate)."""
+        self._flush_pending()
         from geoflowslam_tpu.state.serialize import save_atlas
         save_atlas(path, self.ms, self.vocab,
                    extra={"sensor": self.cfg.sensor,
@@ -1046,6 +1253,7 @@ class SlamSystem:
 
     def shutdown(self, save_dir: Optional[str] = None):
         """System::Shutdown: flush stats (+ lidar global map) to save_dir."""
+        self._flush_pending()
         if save_dir is None:
             return
         import os
@@ -1074,6 +1282,7 @@ class SlamSystem:
                         f.write(f"{t:.6f} {e:.4f} {n}\n")
 
     def map_stats(self):
+        self._flush_pending()
         return {
             "n_kfs": int(jnp.sum(self.ms.kf_valid)),
             "n_mps": int(jnp.sum(self.ms.mp_valid)),
