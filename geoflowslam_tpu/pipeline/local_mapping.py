@@ -369,6 +369,69 @@ def vi_ba_step(ms: M.MapState, kf_slots, slot_valid, segs, r_cb, t_cb,
     return ms, jnp.sum(prob_vis.obs_valid).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("tcfg", "cfg", "kw", "use_vi"))
+def mapping_step(ms: M.MapState, frame, rot, t, time_rel, obs_mp, ref_kf,
+                 kf_slot, vel, bias, kf_slots_p, slot_valid, segs,
+                 r_cb, t_cb, walk_info, icp, tcfg, cfg: MappingConfig,
+                 kw: int, use_vi: bool):
+    """The whole per-KF mapping pipeline as ONE dispatch (LocalMapping::Run
+    body, /root/reference/src/LocalMapping.cc:89-412): KF insertion (+ VI
+    state stamp) -> windowed (VI-)BA -> duplicate fusion -> descriptor/
+    normal refresh -> point culling -> KF culling -> observation refresh +
+    local-window mask recompute for the tracker.
+
+    The staged path runs these as 8+ separate dispatches; on a tunneled TPU
+    each pays a round trip, which dominated the amortized KF cost. The host
+    supplies `kf_slot` (it mirrors slot occupancy) and the stacked IMU
+    segments (host numpy), so no device chatter precedes the dispatch.
+
+    Returns (ms, new_obs [N], (kf_mask, mp_mask), kf_rot, kf_t,
+    scalars [2] = [culled_slot, n_obs_window])."""
+    from geoflowslam_tpu.pipeline import tracking as T
+    from geoflowslam_tpu.solvers import inertial_ba as VIBA
+
+    ms, kf_slot, n_new = T.create_keyframe.__wrapped__(
+        ms, frame, rot, t, time_rel, obs_mp, ref_kf, tcfg, kf_slot=kf_slot)
+    if use_vi:
+        ms = ms._replace(
+            kf_vel=ms.kf_vel.at[kf_slot].set(vel),
+            kf_bias=ms.kf_bias.at[kf_slot].set(bias))
+        prob_vis, mp_idx, mp_in, ctx = extract_ba_problem(
+            ms, kf_slots_p, slot_valid,
+            jnp.zeros((kw,), bool).at[0].set(True), cfg)
+        prob = VIBA.VIBAProblem(
+            vis=prob_vis, kf_vel=ms.kf_vel[kf_slots_p],
+            kf_bias=ms.kf_bias[kf_slots_p], segs=segs, r_cb=r_cb, t_cb=t_cb,
+            walk_info=walk_info, icp=icp)
+        out, obs_inl = VIBA.vi_local_ba(prob, cfg.fx, cfg.fy, cfg.cx,
+                                        cfg.cy, cfg.bf)
+        fixed = jnp.zeros((kw,), bool).at[0].set(True)
+        ms = writeback_ba(ms, out.vis, obs_inl, kf_slots_p, slot_valid,
+                          fixed, mp_idx, mp_in, ctx)
+        upd = slot_valid & ~fixed
+        ms = ms._replace(
+            kf_vel=ms.kf_vel.at[kf_slots_p].set(
+                jnp.where(upd[:, None], out.kf_vel, ms.kf_vel[kf_slots_p])),
+            kf_bias=ms.kf_bias.at[kf_slots_p].set(
+                jnp.where(upd[:, None], out.kf_bias,
+                          ms.kf_bias[kf_slots_p])))
+        n_obs = jnp.sum(prob_vis.obs_valid).astype(jnp.int32)
+    else:
+        ms, n_obs = local_ba_step.__wrapped__(ms, kf_slot, cfg)
+    ms = fuse_duplicates.__wrapped__(ms, kf_slot, cfg)
+    ms = refresh_point_stats.__wrapped__(ms, kf_slot)
+    ms = M.cull_map_points(ms)
+    ms, culled = keyframe_culling.__wrapped__(ms, kf_slot)
+    # refresh the frame's observation bindings (drop culled references)
+    obs = ms.kf_obs_mp[kf_slot]
+    new_obs = jnp.where(
+        (obs >= 0) & ms.mp_valid[jnp.maximum(obs, 0)], obs, M.NO_MP)
+    masks = M.local_window(ms, kf_slot, tcfg.local_window)
+    scalars = jnp.stack([culled, n_obs])
+    return (ms, new_obs, masks, ms.kf_rot[kf_slot], ms.kf_t[kf_slot],
+            scalars)
+
+
 # ---------------------------------------------------------------------------
 # Map-point culling + fusion
 # ---------------------------------------------------------------------------

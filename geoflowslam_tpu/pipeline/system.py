@@ -360,11 +360,10 @@ class SlamSystem:
         n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
 
         if n_final < self.cfg.min_inliers_ok:
-            # rewind to the pre-frame state and run the staged recovery on
-            # this frame; any younger pipelined frame was computed from the
-            # bad state — drop its results (one lost frame, as a dropped
-            # frame in the reference's queue)
-            self.ms = ent["ms_before"]
+            # run the staged recovery on this frame from the CURRENT map
+            # (KFs inserted by pipelined processing stay; only this frame's
+            # counter updates linger — younger pipelined results are dropped,
+            # like a dropped frame in the reference's queue)
             if mode in ("kf", "prior"):
                 self._vi_state = None
                 self._vi_prior = None
@@ -1020,9 +1019,127 @@ class SlamSystem:
             np.asarray(self.imu.walk_info, np.float32),
             self.mcfg, kw, icp=icp)
 
+    def _host_slot_mirror(self):
+        """Host mirror of KF slot occupancy (evictability): lets the fused
+        KF path pick the slot and check capacity without device round trips.
+        Resynced from the device after events that relabel slots."""
+        if getattr(self, "_mirror_dirty", True):
+            kv, km, am = jax.device_get(
+                (self.ms.kf_valid, self.ms.kf_map_id, self.ms.active_map))
+            self._kf_valid_h = np.asarray(kv).copy()
+            self._kf_map_h = np.asarray(km).copy()
+            self._active_map_h = int(am)
+            self._mirror_dirty = False
+        return self._kf_valid_h, self._kf_map_h, self._active_map_h
+
+    def _insert_keyframe_fused(self, frame: FrameData, timestamp: float,
+                               res: T.TrackResult):
+        """Per-KF mapping as ONE device dispatch + one scalar sync
+        (local_mapping.mapping_step); used on the steady-state path."""
+        _t_kf = __import__("time").perf_counter()
+        kv, km, am = self._host_slot_mirror()
+        free = np.where(~kv)[0]
+        if len(free) == 0:
+            dormant = np.where(kv & (km != am))[0]
+            if len(dormant):
+                free = dormant    # evict oldest dormant (free_kf_slot policy)
+            else:
+                self._mirror_dirty = True
+                self._ensure_kf_capacity()           # force-cull or raise
+                kv, km, am = self._host_slot_mirror()
+                free = np.where(~kv)[0]
+        kf_slot = int(free[0])
+
+        imu = self.imu
+        use_vi = imu is not None
+        vel = bias = segs = icp = None
+        kw = 8
+        slots_p = np.zeros((kw,), np.int32)
+        slot_valid = np.zeros((kw,), bool)
+        if use_vi:
+            imu.on_keyframe(kf_slot)
+            kw_target = 8
+            it = imu.init_time
+            if it is not None and not imu.viba1_done and timestamp - it > 5.0:
+                kw_target = 16
+                imu.viba1_done = True
+            elif it is not None and not imu.viba2_done                     and timestamp - it > 10.0:
+                kw_target = 16
+                imu.viba2_done = True
+            slots = imu.contiguous_window(kw_target)
+            if len(slots) < 3:
+                use_vi = False
+            else:
+                kw = kw_target
+                kw_real = len(slots)
+                sentinel = self.cfg.k_max
+                slots_p = np.asarray(
+                    list(slots) + [sentinel] * (kw - kw_real), np.int32)
+                slot_valid = np.asarray(
+                    [i < kw_real for i in range(kw)])
+                segs = imu.build_segments(list(slots_p))
+                vel = imu.body.v if imu.body is not None else np.zeros(3)
+                bias = imu.bias
+        if not use_vi:
+            vel = np.zeros(3, np.float32)
+            bias = np.zeros(6, np.float32)
+
+        out = LM.mapping_step(
+            self.ms, frame, res.rot, res.t,
+            np.float32(self._t_rel(timestamp)), res.obs_mp,
+            np.int32(self.ref_kf), np.int32(kf_slot), vel, bias,
+            slots_p, slot_valid, segs,
+            imu.r_cb if use_vi else None, imu.t_cb if use_vi else None,
+            np.asarray(imu.walk_info, np.float32) if use_vi else None, icp,
+            self.tcfg, self.mcfg, kw, use_vi)
+        ms, new_obs, masks, kf_rot, kf_t, scalars = out
+        self.ms = ms
+        self.last_obs_mp = new_obs
+        self._local_masks = masks
+        self.cur_rot, self.cur_t = kf_rot, kf_t
+        self.has_vel = False
+        self.ref_kf = kf_slot
+        self.ref_kf_inliers = int(res.n_inliers)
+        self.frames_since_kf = 0
+        self._last_kf_time = timestamp
+        self._vi_prior = None
+        self._kf_valid_h[kf_slot] = True
+        self._kf_map_h[kf_slot] = self._active_map_h
+        if use_vi and imu.body is not None:
+            imu.body = imu.body_from_cam(self.cur_rot, self.cur_t,
+                                         v=imu.body.v)
+        sc = np.asarray(scalars)                 # the one sync of the KF
+        culled_i = int(sc[0])
+        if culled_i >= 0:
+            self._on_kf_culled(culled_i)
+            self._kf_valid_h[culled_i] = False
+        self.timers.add("New_KF",
+                        (__import__("time").perf_counter() - _t_kf) * 1000)
+        if self.loop_closer is not None:
+            self.ms, found = self.loop_closer.on_keyframe(
+                self.ms, kf_slot,
+                inertial=(imu is not None and imu.initialized))
+            self._mirror_dirty = True if found else self._mirror_dirty
+            if found:
+                self.cur_rot = self.ms.kf_rot[kf_slot]
+                self.cur_t = self.ms.kf_t[kf_slot]
+                self.has_vel = False
+                if imu is not None and imu.body is not None:
+                    imu.body = imu.body_from_cam(
+                        self.cur_rot, self.cur_t, v=imu.body.v)
+                if self._gba is not None and self.cfg.loop.async_global_ba:
+                    self._gba.abort()
+                    self._gba.start(self.ms)
+                self._local_masks = None
+
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
+        if (self.cfg.sensor != "mono" and not self.cfg.use_icp
+                and not self.cfg.use_lidar and self.cfg.local_ba_every_kf
+                and (self.imu is None or self.imu.initialized)):
+            return self._insert_keyframe_fused(frame, timestamp, res)
         _t_kf = __import__("time").perf_counter()
+        self._mirror_dirty = True
         self._ensure_kf_capacity()
         ms, kf_slot, n_new = T.create_keyframe(
             self.ms, frame, res.rot, res.t,
@@ -1173,6 +1290,7 @@ class SlamSystem:
 
     def _reset_or_new_map(self, frame: FrameData, timestamp: float):
         """Atlas recovery: start a new map (Tracking::CreateMapInAtlas)."""
+        self._mirror_dirty = True
         n_kfs = int(jnp.sum(self.ms.kf_valid
                             & (self.ms.kf_map_id == self.ms.active_map)))
         if n_kfs >= self.cfg.min_kfs_for_new_map:
@@ -1207,6 +1325,7 @@ class SlamSystem:
     def reset(self):
         """System::Reset: wipe the whole Atlas and restart."""
         self._pending_frames.clear()
+        self._mirror_dirty = True
         n_kp_total = self.cfg.frame.orb.n_features + self.cfg.frame.n_of_slots
         self.ms = M.create(self.cfg.k_max, n_kp_total, self.cfg.m_max)
         self.state = TrackingState.NOT_INITIALIZED
@@ -1222,6 +1341,7 @@ class SlamSystem:
         """System::ResetActiveMap: drop only the active map's contents and
         reinitialize in a fresh Atlas map."""
         self._pending_frames.clear()
+        self._mirror_dirty = True
         self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
@@ -1243,6 +1363,7 @@ class SlamSystem:
         """System::LoadAtlas: restore the map; a new active map is created
         on top for the ongoing session (the reference does the same)."""
         from geoflowslam_tpu.state.serialize import load_atlas
+        self._mirror_dirty = True
         self.ms, extra = load_atlas(path, self.vocab)
         self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED

@@ -343,11 +343,15 @@ def fused_track_step(gray, depth, ms: M.MapState, last_obs_mp,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def create_keyframe(ms: M.MapState, frame: FrameData, rot, t, time,
-                    obs_mp: jnp.ndarray, prev_kf, cfg: TrackConfig):
+                    obs_mp: jnp.ndarray, prev_kf, cfg: TrackConfig,
+                    kf_slot=None):
     """Insert a KF; create new close-depth map points for unmatched keypoints
-    (Tracking::CreateNewKeyFrame RGB-D branch, src/Tracking.cc:4168-4285)."""
+    (Tracking::CreateNewKeyFrame RGB-D branch, src/Tracking.cc:4168-4285).
+    `kf_slot` may be supplied by the host (it mirrors slot occupancy and can
+    pick the slot without a device round-trip); defaults to free_kf_slot."""
     feat = frame.feat
-    kf_slot = M.free_kf_slot(ms)
+    if kf_slot is None:
+        kf_slot = M.free_kf_slot(ms)
 
     depth_ok = (frame.depth_kp < cfg.close_depth) if cfg.close_depth > 0 \
         else jnp.ones_like(frame.depth_kp, bool)
