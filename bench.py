@@ -43,6 +43,8 @@ def main():
     from geoflowslam_tpu.ops.extractor import OrbConfig
     from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
     from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    from geoflowslam_tpu.pipeline.loop_closing import LoopConfig
+    from geoflowslam_tpu.retrieval.vocab import default_vocabulary
     from geoflowslam_tpu.pipeline import tracking as T
     from geoflowslam_tpu.state import map_state as M
 
@@ -56,8 +58,12 @@ def main():
     # k=128/m=32k: still hours of sequence at the 0.5 s KF cadence with
     # culling, but roughly half the (single-core host) compile wall of the
     # 256/64k default — the bench must finish cold within the driver budget
+    # Loop closing is ON (the reference's LoopClosing thread always runs,
+    # src/LoopClosing.cc:105): the per-KF retrieval/consistency dispatch is
+    # inside the measured operating point.
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=40.0,
-                       frame=fc, imu=imu, k_max=128, m_max=32768)
+                       frame=fc, imu=imu, k_max=128, m_max=32768,
+                       loop=LoopConfig())
 
     # ---- pre-render the sequence (host-side, excluded from timing) --------
     # rendered on the CPU backend (the TPU tunnel's per-op dispatch latency
@@ -113,7 +119,7 @@ def main():
               file=sys.stderr)
 
     # ---- warmup: init + IMU init transient + compile everything -----------
-    slam = SlamSystem(cfg)
+    slam = SlamSystem(cfg, vocab=default_vocabulary())
     t0 = time.time()
     for i, (g, d, acc, gyro, dts, t) in enumerate(frames[:n_warm]):
         if acc is None:

@@ -51,6 +51,9 @@ class FusedOut(NamedTuple):
     marg: Optional[jnp.ndarray]  # marginal info for the next frame's prior
     scalars: jnp.ndarray     # [4] int32: n_mm, n_lm, n_vi, vi_accepted
     twc: jnp.ndarray         # [3,4] camera-to-world (trajectory recording)
+    trel: jnp.ndarray        # [3,4] T_cr = Tcw ∘ Trw^-1 vs the ref KF —
+                             # the reference's mlRelativeFramePoses
+                             # (SaveTrajectoryTUM rebasing, System.cc:994+)
     bias_out: Optional[jnp.ndarray]  # [6] updated (bg, ba) in imu modes
 
 
@@ -156,10 +159,17 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
 
     rwc = rot_f.T
     twc = jnp.concatenate([rwc, (-(rwc @ t_f))[:, None]], axis=1)
+    # relative pose vs the reference KF (for retroactively-corrected
+    # trajectory export): T_cr = Tcw ∘ Trw^-1
+    r_rw, t_rw = ms.kf_rot[ref_kf], ms.kf_t[ref_kf]
+    r_cr = rot_f @ r_rw.T
+    t_cr = t_f - r_cr @ t_rw
+    trel = jnp.concatenate([r_cr, t_cr[:, None]], axis=1)
     bias_out = (jnp.concatenate([body_out.bg, body_out.ba])
                 if body_out is not None else None)
     scalars = jnp.stack([res.n_inliers, res2.n_inliers, n_vi,
                          accept.astype(jnp.int32)])
     return FusedOut(frame=frame, rot=rot_f, t=t_f, obs_mp=obs_f, ms=ms2,
                     vel_rot=nvr, vel_t=nvt, p_frame=p_frame, body=body_out,
-                    marg=marg, scalars=scalars, twc=twc, bias_out=bias_out)
+                    marg=marg, scalars=scalars, twc=twc, trel=trel,
+                    bias_out=bias_out)

@@ -52,6 +52,21 @@ class ImuConfig:
                                    self.walk_gyro, self.walk_acc, self.freq)
 
 
+_IDENT_PREINT = None
+
+
+def _identity_preint_np():
+    """Host-numpy identity Preintegrated (cached; building it eagerly on the
+    tunneled TPU cost a round trip per build_segments call)."""
+    global _IDENT_PREINT
+    if _IDENT_PREINT is None:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            _IDENT_PREINT = jax.tree_util.tree_map(
+                np.asarray, pre.Preintegrated.identity(1))
+    return _IDENT_PREINT
+
+
 class InertialTracker:
     """Host-side inertial state: preintegration buffers + init machine."""
 
@@ -65,6 +80,10 @@ class InertialTracker:
         self.t_cb = -self.r_bc.T @ self.t_bc
 
         self.bias = jnp.zeros(6)
+        # host-numpy mirror of the bias, maintained by the fused loop from
+        # its lag-delayed async read-backs; `pending` prefers it so the KF
+        # preintegration never blocks on an in-flight device future
+        self.bias_host: Optional[np.ndarray] = None
         self.body: Optional[VI.BodyState] = None       # state at last frame
         self.initialized = False
         # per-KF-slot preintegration since the previous KF
@@ -79,15 +98,37 @@ class InertialTracker:
         self.walk_info = np.linalg.inv(
             np.asarray(self.calib.cov_walk) + 1e-12 * np.eye(6))
 
+    _cpu_preintegrate = None   # class-level cache of the CPU-pinned jit
+
+    @classmethod
+    def _preintegrate_on_cpu(cls, acc, gyro, dts, bias, calib):
+        """Preintegrate a KF segment on the HOST CPU backend.
+
+        The segment inputs are host numpy and every consumer
+        (build_segments, try_initialize) wants host numpy back; running the
+        512-step scan on the tunneled TPU would serialize behind all queued
+        frame/mapping programs and pay a network round trip on read-back —
+        this was the blocking part of InertialTracker.on_keyframe."""
+        if cls._cpu_preintegrate is None:
+            cpu = jax.devices("cpu")[0]
+            cls._cpu_preintegrate = jax.jit(pre.preintegrate.__wrapped__,
+                                            device=cpu)
+        bias = np.asarray(bias, np.float32) if not isinstance(bias, np.ndarray) \
+            else bias
+        return cls._cpu_preintegrate(acc, gyro, dts, bias, calib)
+
     @property
     def pending(self):
         """Preintegration since the last KF (computed on demand at a FIXED
         padded size so the scan compiles once — merging growing buffers per
-        frame would recompile every frame)."""
+        frame would recompile every frame). Computed on the CPU backend:
+        inputs and consumers are host-side (see _preintegrate_on_cpu)."""
         if not self._chunks:
             return None
-        acc, gyro, dts = self._stack_chunks()
-        return pre.preintegrate(acc, gyro, dts, self.bias, self.calib)
+        acc, gyro, dts = self._stack_chunks_np()
+        bias = (self.bias_host if self.bias_host is not None
+                else np.asarray(self.bias))
+        return self._preintegrate_on_cpu(acc, gyro, dts, bias, self.calib)
 
     @pending.setter
     def pending(self, value):
@@ -96,8 +137,9 @@ class InertialTracker:
         else:
             self._chunks = [(value.meas_acc, value.meas_gyro, value.meas_dt)]
 
-    def _stack_chunks(self):
-        import numpy as np
+    def _stack_chunks_np(self):
+        """Compact + pad the raw sample chunks to the fixed capacity (host
+        numpy; chunk entries may be device arrays from the staged path)."""
         acc = np.concatenate([np.asarray(a) for a, _, _ in self._chunks])
         gyro = np.concatenate([np.asarray(g) for _, g, _ in self._chunks])
         dts = np.concatenate([np.asarray(d) for _, _, d in self._chunks])
@@ -112,11 +154,10 @@ class InertialTracker:
             gyro = 0.5 * (gyro[:n2:2] + gyro[1:n2:2])
             dts = dts[:n2:2] + dts[1:n2:2]
         pad = cap - len(dts)
-        acc = np.pad(acc, ((0, pad), (0, 0)))
-        gyro = np.pad(gyro, ((0, pad), (0, 0)))
-        dts = np.pad(dts, (0, pad))
-        return (jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
-                jnp.asarray(dts, jnp.float32))
+        acc = np.pad(acc, ((0, pad), (0, 0))).astype(np.float32)
+        gyro = np.pad(gyro, ((0, pad), (0, 0))).astype(np.float32)
+        dts = np.pad(dts, (0, pad)).astype(np.float32)
+        return acc, gyro, dts
 
     # -- per-frame ---------------------------------------------------------
 
@@ -154,23 +195,22 @@ class InertialTracker:
         saved = self._chunks
         self._chunks = [(a.meas_acc, a.meas_gyro, a.meas_dt),
                         (b.meas_acc, b.meas_gyro, b.meas_dt)]
-        acc, gyro, dts = self._stack_chunks()
+        acc, gyro, dts = self._stack_chunks_np()
         self._chunks = saved
-        return pre.preintegrate(acc, gyro, dts, b.bias, self.calib)
+        return self._preintegrate_on_cpu(acc, gyro, dts,
+                                         np.asarray(b.bias), self.calib)
 
     # -- keyframe hooks ----------------------------------------------------
 
     def on_keyframe(self, kf_slot: int):
         """Bind the pending preintegration to the new KF and reset it.
 
-        The preintegration is stored as a HOST-numpy pytree (one device_get
-        here) so the per-KF window stacking (build_segments) is pure numpy —
-        on the tunneled TPU every stray eager op costs a network round-trip,
-        and the old device-side stacking was ~100 dispatches per KF."""
+        The preintegration is computed on the CPU backend and stored as a
+        HOST-numpy pytree, so this never blocks on the TPU queue — the per-KF
+        window stacking (build_segments) is pure numpy."""
         p = self.pending
         if p is not None:
-            self.kf_preints[kf_slot] = jax.tree_util.tree_map(
-                np.asarray, jax.device_get(p))
+            self.kf_preints[kf_slot] = jax.tree_util.tree_map(np.asarray, p)
         self.kf_order.append(kf_slot)
         self.pending = None
 
@@ -200,8 +240,7 @@ class InertialTracker:
                    "info9", "walk_info", "dt", "bias0")}
         valid = []
         eye9 = np.eye(9, dtype=np.float32)
-        ident = jax.tree_util.tree_map(np.asarray,
-                                       jax.device_get(pre.Preintegrated.identity(1)))
+        ident = _identity_preint_np()
         for i in range(n):
             s = slots[i + 1]
             p = self.kf_preints.get(s)

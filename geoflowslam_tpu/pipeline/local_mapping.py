@@ -426,7 +426,8 @@ def mapping_step(ms: M.MapState, frame, rot, t, time_rel, obs_mp, ref_kf,
     obs = ms.kf_obs_mp[kf_slot]
     new_obs = jnp.where(
         (obs >= 0) & ms.mp_valid[jnp.maximum(obs, 0)], obs, M.NO_MP)
-    masks = M.local_window(ms, kf_slot, tcfg.local_window)
+    masks = M.local_window(ms, kf_slot, tcfg.local_window,
+                           tcfg.lm_max_candidates)
     scalars = jnp.stack([culled, n_obs])
     return (ms, new_obs, masks, ms.kf_rot[kf_slot], ms.kf_t[kf_slot],
             scalars)

@@ -110,6 +110,49 @@ def _count_projection_matches(ms: M.MapState, cur, cand, s, rot, t, cfg):
     return jnp.sum(m_idx >= 0).astype(jnp.int32)
 
 
+def detect_step(vocab, db, ms: M.MapState, kf_slot, prev_groups, prev_counts,
+                min_score: float, n_best: int = 3):
+    """One-dispatch per-KF place recognition + temporal-consistency update.
+
+    Fuses BoW descent, DetectNBestCandidates retrieval, the database insert
+    and the consistent-groups bookkeeping (mvConsistentGroups,
+    /root/reference/src/LoopClosing.cc:353-627) into a single device program
+    whose small scalar outputs the host reads a few frames later
+    (copy_to_host_async) — the steady-state "no loop yet" path costs zero
+    blocking round trips.
+
+    Unlike round 2's single chain, this keeps `n_best` chains (one per
+    candidate group): a candidate's count is 1 + the max count of any
+    previous group it overlaps, so alternating/noisy candidates no longer
+    reset consistency progress.
+
+    Returns (db', groups [n_best,K] bool, counts [n_best] int32,
+    scalars [n_best,3] int32 rows = (cand_idx, count, score*1e4)).
+    """
+    kf_slot = jnp.int32(kf_slot)
+    desc = ms.kf_desc[kf_slot]
+    kp_valid = ms.kf_kp_valid[kf_slot]
+    words = V.descend(vocab, desc, kp_valid)
+    qvec = V.bow_vector(vocab, words)
+    cand_idx, cand_score, cand_ok = DB.detect_candidates(
+        db, ms, qvec, kf_slot, n_best=n_best)
+    db = db._replace(bow=db.bow.at[kf_slot].set(qvec),
+                     valid=db.valid.at[kf_slot].set(True))
+    ok = cand_ok & (cand_score >= min_score)
+    cov = M.covisibility(ms)                          # [K,K]
+    groups = cov[cand_idx] > 0                        # [n_best, K]
+    groups = groups.at[jnp.arange(n_best), cand_idx].set(True)
+    groups = groups & ok[:, None]
+    overlap = jnp.einsum("gk,pk->gp", groups.astype(jnp.float32),
+                         prev_groups.astype(jnp.float32)) > 0
+    inherited = jnp.max(jnp.where(overlap, prev_counts[None, :], 0), axis=1)
+    counts = jnp.where(ok, 1 + inherited, 0)
+    scalars = jnp.stack(
+        [cand_idx.astype(jnp.int32), counts.astype(jnp.int32),
+         (cand_score * 1e4).astype(jnp.int32)], axis=1)
+    return db, groups, counts, scalars
+
+
 @dataclasses.dataclass(frozen=True)
 class LoopConfig:
     min_score: float = 0.05
@@ -153,46 +196,62 @@ class LoopCloser:
             map_cfg = MappingConfig()
         self._map_cfg = map_cfg
         self.mesh = mesh  # optional jax.sharding.Mesh: distributed global BA
-        # temporal-consistency groups: list of ([K] bool covisibility-group
-        # mask, consecutive-detection count) — ORB-SLAM's mvConsistentGroups
-        self._consistent_groups: list = []
+        self.n_cand = 3
+        # temporal-consistency chains (mvConsistentGroups): device-resident
+        # [n_cand, K] group masks + [n_cand] counts updated inside detect_step
+        self._groups = jnp.zeros((self.n_cand, k_max), bool)
+        self._counts = jnp.zeros((self.n_cand,), jnp.int32)
+        self._detect_jit = None
+        self.k_max = k_max
+
+    def _detect(self, ms, kf_slot):
+        """Dispatch the fused detect program; returns the [n_cand,3] scalar
+        tile (cand_idx, count, score*1e4) with its D2H copy started."""
+        if self._detect_jit is None:
+            vocab, cfg, n_cand = self.vocab, self.cfg, self.n_cand
+
+            @jax.jit
+            def fn(db, ms, kf_slot, groups, counts):
+                return detect_step(vocab, db, ms, kf_slot, groups, counts,
+                                   cfg.min_score, n_cand)
+            self._detect_jit = fn
+        self.db, self._groups, self._counts, scalars = self._detect_jit(
+            self.db, ms, jnp.int32(kf_slot), self._groups, self._counts)
+        scalars.copy_to_host_async()
+        return scalars
+
+    def begin_detect(self, ms: M.MapState, kf_slot: int):
+        """Async API for the fused production loop: one dispatch, no reads.
+        The caller re-reads the returned scalars a few frames later and, for
+        a matured candidate, calls `complete_candidate`."""
+        return self._detect(ms, kf_slot)
+
+    def matured_candidate(self, scalars_np) -> Optional[int]:
+        """Pick the best candidate whose chain reached the consistency gate
+        from a matured detect-scalar tile; None if none qualifies."""
+        for row in np.asarray(scalars_np):
+            cand, count, _score = (int(x) for x in row)
+            if count >= self.cfg.consistency_needed:
+                return cand
+        return None
 
     def on_keyframe(self, ms: M.MapState, kf_slot: int, inertial: bool = False,
                     kf_clouds: Optional[dict] = None):
-        """Detect + correct. Returns (ms, loop_found: bool)."""
-        kf_slot_i = int(kf_slot)
-        desc = ms.kf_desc[kf_slot_i]
-        kp_valid = ms.kf_kp_valid[kf_slot_i]
-        words = V.descend(self.vocab, desc, kp_valid)
-        qvec = V.bow_vector(self.vocab, words)
-
-        cand_idx, cand_score, cand_ok = DB.detect_candidates(
-            self.db, ms, qvec, jnp.int32(kf_slot_i))
-        # always register the KF afterwards (reference adds post-detection)
-        self.db = self.db._replace(
-            bow=self.db.bow.at[kf_slot_i].set(qvec),
-            valid=self.db.valid.at[kf_slot_i].set(True))
-
-        best = int(cand_idx[0])
-        if not bool(cand_ok[0]) or float(cand_score[0]) < self.cfg.min_score:
-            # no candidate this KF: consistency chains are broken
-            self._consistent_groups = []
+        """Detect + correct synchronously (staged path / tests). Returns
+        (ms, loop_found: bool)."""
+        scalars = np.asarray(self._detect(ms, kf_slot))
+        best = self.matured_candidate(scalars)
+        if best is None:
             return ms, False
+        return self.complete_candidate(ms, int(kf_slot), best,
+                                       inertial=inertial, kf_clouds=kf_clouds)
 
-        # temporal consistency (NewDetectCommonRegions :353): the candidate's
-        # covisibility group must have been detected on `consistency_needed`
-        # consecutive KFs before we spend geometry on it — a single aliased
-        # view never reaches Sim3/correction.
-        group = np.array(M.covisibility(ms)[best] > 0)   # writable copy
-        group[best] = True
-        count = 1
-        for g_prev, c_prev in self._consistent_groups:
-            if bool(np.any(group & g_prev)):
-                count = max(count, c_prev + 1)
-        self._consistent_groups = [(group, count)]
-        if count < self.cfg.consistency_needed:
-            return ms, False
-
+    def complete_candidate(self, ms: M.MapState, kf_slot_i: int, best: int,
+                           inertial: bool = False,
+                           kf_clouds: Optional[dict] = None):
+        """Geometric verification + correction for a consistency-matured
+        candidate (the rare, expensive tail of NewDetectCommonRegions →
+        CorrectLoop). Returns (ms, loop_found)."""
         ok, s, rot, t, n_inl = self._verify_sim3(ms, kf_slot_i, best)
         if not ok:
             return ms, False
@@ -263,7 +322,9 @@ class LoopCloser:
                 from geoflowslam_tpu.pipeline.local_mapping import global_ba_step
                 ms = global_ba_step(ms, self._map_cfg)
         self.n_loops += 1
-        self._consistent_groups = []   # fresh chains after a correction
+        # fresh chains after a correction
+        self._groups = jnp.zeros((self.n_cand, self.k_max), bool)
+        self._counts = jnp.zeros((self.n_cand,), jnp.int32)
         return ms, True
 
     # ------------------------------------------------------------------

@@ -80,10 +80,15 @@ class SystemConfig:
     r_odom_cam: Optional[tuple] = None  # T_odom_w: odom->camera rotation
                                         # (Settings::getRodom2cam, 3x3 row-major)
     max_frame_gap: float = 1.0          # timestamp-jump reset (Tracking.cc:2066)
-    fused_sync_stride: int = 4          # fused path: read decision scalars
-                                        # every N frames (tunnel round trips
-                                        # are the latency floor; KF cadence
-                                        # is time-driven and still exact)
+    fused_sync_stride: int = 4          # legacy knob (round 2); the fused
+                                        # path now async-copies scalars at
+                                        # dispatch and reads them lag frames
+                                        # later — every frame is a decision
+                                        # frame at ~zero read cost
+    fused_lag: int = 3                  # frames between dispatch and the
+                                        # (pre-copied) decision read; >= 2
+                                        # keeps the D2H transfer fully in
+                                        # the compute shadow on the tunnel
     record_reproj_err: bool = False     # per-frame reprojection-error dumps
                                         # (SaveFrame2FrameReprojErr parity)
 
@@ -136,7 +141,15 @@ class SlamSystem:
         self.n_lost = 0
         self._last_kf_time = 0.0
 
-        self.trajectory: List[Tuple[float, np.ndarray]] = []  # (t, Twc 4x4)
+        # trajectory store: legacy entries (t, Twc 4x4 | device future) from
+        # the staged path, or rich entries (t, twc_np, ref_kf, gen, trel_np)
+        # from the fused path. Rich entries rebase onto the ref KF's CURRENT
+        # pose on access (mlRelativeFramePoses semantics,
+        # /root/reference/src/System.cc:994+): loop/GBA corrections
+        # retroactively fix the exported frame trajectory.
+        self._traj: list = []
+        self._kf_gen: dict = {}      # slot -> generation id
+        self._gen_counter = 0
         # per-frame reprojection stats (mFrame2FrameReprojErr /
         # mFrame2MapReprojErr analogues, include/Tracking.h:430)
         self.f2f_reproj: List[Tuple[float, float, int]] = []
@@ -172,14 +185,16 @@ class SlamSystem:
         # local-window cache: recomputed once per map mutation, not per frame
         self._local_masks = None
         self._last_levels = None   # last frame's keypoint octaves
-        # fused-path frame pipeline (depth 1): deferred host decisions
+        # fused-path frame pipeline (depth fused_lag): deferred host decisions
         self._pending_frames: list = []
+        self._deferred: list = []      # lag-matured per-KF mapping scalars
         self._last_pose_wc = np.eye(4)
         # interleaved background global BA (LoopClosing's detached GBA
         # thread re-expressed as per-frame micro-steps, local_mapping.AsyncGBA)
         self._gba = LM.AsyncGBA(self.mcfg) if cfg.loop is not None else None
         self._local_window_fn = jax.jit(
-            lambda ms, ref: M.local_window(ms, ref, self.tcfg.local_window))
+            lambda ms, ref: M.local_window(ms, ref, self.tcfg.local_window,
+                                           self.tcfg.lm_max_candidates))
 
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
@@ -324,39 +339,38 @@ class SlamSystem:
         self.last_time = timestamp
         self.n_frames += 1
 
-        # enqueue the host decision work; process the previous frame's entry
-        # now — its computation overlapped this frame's dispatch. Decision
-        # scalars are read only every `fused_sync_stride` frames or when the
-        # inertial KF cadence is due: the tunnel round trip (~30 ms) is the
-        # per-frame latency floor otherwise. Non-sync frames keep their pose
-        # as a device future, converted in bulk at the next flush.
-        self._fused_idx = getattr(self, "_fused_idx", 0) + 1
-        kf_due = (self.imu is not None
-                  and timestamp - self._last_kf_time >= 0.5) or \
-            (self.imu is None
-             and self.frames_since_kf + len(self._pending_frames)
-             >= self.cfg.kf_max_interval)
-        sync = (self._fused_idx % max(self.cfg.fused_sync_stride, 1) == 0
-                or kf_due)
+        # Start the D2H transfer of the decision scalars NOW (it completes in
+        # the shadow of the next frames' device compute) and defer the host
+        # decisions by `fused_lag` frames: the lagged np.asarray is then a
+        # ~0.1 ms buffer copy instead of a 25+ ms blocking tunnel round trip
+        # (measured; an interleaved dispatch/blocking-read pattern collapses
+        # the pipeline entirely). Every frame is a decision frame.
+        out.scalars.copy_to_host_async()
+        out.twc.copy_to_host_async()
+        out.trel.copy_to_host_async()
+        if out.bias_out is not None:
+            out.bias_out.copy_to_host_async()
         self._pending_frames.append(
             dict(out=out, ts=timestamp, mode=mode, ms_before=ms_before,
-                 sync=sync))
-        if len(self._pending_frames) > 1:
+                 ref_kf=self.ref_kf, gen=self._kf_gen.get(self.ref_kf)))
+        if len(self._pending_frames) > max(self.cfg.fused_lag, 1):
             self._process_pending(self._pending_frames.pop(0))
         return self._last_pose_wc
 
     def _process_pending(self, ent):
         """Deferred per-frame host decisions: scalar read-back, trajectory,
-        KF policy, VI-acceptance bookkeeping, failure recovery, GBA step."""
+        KF policy, VI-acceptance bookkeeping, failure recovery, GBA step.
+        Runs `fused_lag` frames behind dispatch; the reads below hit buffers
+        whose transfers were started at dispatch time (copy_to_host_async),
+        so nothing here blocks on the device."""
         out, timestamp, mode = ent["out"], ent["ts"], ent["mode"]
         imu = self.imu
-        if not ent.get("sync", True):
-            # light frame: no read-back; pose stays a device future
-            self.frames_since_kf += 1
-            self.trajectory.append((timestamp, out.twc))
-            return
-        sc, twc34 = jax.device_get((out.scalars, out.twc))
+        self._drain_deferred()
+        sc = np.asarray(out.scalars)
+        twc34 = np.asarray(out.twc)
         n1, n2, n_vi, vi_ok = (int(x) for x in sc)
+        if mode != "off" and out.bias_out is not None and imu is not None:
+            imu.bias_host = np.asarray(out.bias_out)
         n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
 
         if n_final < self.cfg.min_inliers_ok:
@@ -405,22 +419,79 @@ class SlamSystem:
 
         twc = np.eye(4)
         twc[:3, :4] = np.asarray(twc34, np.float64)
-        self.trajectory.append((timestamp, twc))
+        trel = np.asarray(out.trel, np.float64)
+        self._traj.append((timestamp, twc, ent["ref_kf"], ent["gen"], trel))
         self._last_pose_wc = twc
+
+    def _drain_deferred(self, force: bool = False):
+        """Process lag-matured per-KF async results: mapping-cull scalars
+        (bookkeeping) and loop-detection scalars (possible correction).
+        Transfers were started at dispatch; matured reads don't block."""
+        keep = []
+        for ent in self._deferred:
+            ent["countdown"] -= 1
+            if ent["countdown"] > 0 and not force:
+                keep.append(ent)
+                continue
+            if "scalars" in ent:
+                sc = np.asarray(ent["scalars"])
+                culled_i = int(sc[0])
+                if culled_i >= 0:
+                    self._on_kf_culled(culled_i)
+                    self._kf_valid_h[culled_i] = False
+            else:
+                self._handle_loop_scalars(ent)
+        self._deferred = keep
+
+    def _handle_loop_scalars(self, ent):
+        """Matured loop-detection scalars: run geometric verification +
+        correction for a consistency-matured candidate (rare; blocking is
+        fine — the reference's CorrectLoop also stalls the pipeline)."""
+        lc = self.loop_closer
+        best = lc.matured_candidate(np.asarray(ent["loop_scalars"]))
+        if best is None:
+            return
+        imu = self.imu
+        kf = int(ent["kf"])
+        r_ref_old = self.ms.kf_rot[self.ref_kf]
+        t_ref_old = self.ms.kf_t[self.ref_kf]
+        self.ms, found = lc.complete_candidate(
+            self.ms, kf, best,
+            inertial=(imu is not None and imu.initialized),
+            kf_clouds=self._kf_clouds if self._kf_clouds else None)
+        if not found:
+            return
+        self._mirror_dirty = True
+        # the whole map moved: carry the reference KF's correction onto the
+        # current (tracked) pose — T_cur' = T_cur ∘ T_ref_old^-1 ∘ T_ref_new
+        ri, ti = lie.se3_inverse(r_ref_old, t_ref_old)
+        dr, dt_ = lie.se3_compose(ri, ti, self.ms.kf_rot[self.ref_kf],
+                                  self.ms.kf_t[self.ref_kf])
+        self.cur_rot, self.cur_t = lie.se3_compose(
+            self.cur_rot, self.cur_t, dr, dt_)
+        self.has_vel = False
+        if imu is not None and imu.body is not None:
+            imu.body = imu.body_from_cam(self.cur_rot, self.cur_t,
+                                         v=imu.body.v)
+        if self._gba is not None and self.cfg.loop.async_global_ba:
+            self._gba.abort()
+            self._gba.start(self.ms)
+        self._local_masks = None
 
     def _flush_pending(self):
         """Drain the frame pipeline (before staged-path entry, state reads,
         persistence, shutdown) and materialize any device-future poses."""
         while self._pending_frames:
             self._process_pending(self._pending_frames.pop(0))
-        pend = [(i, p) for i, (_, p) in enumerate(self.trajectory)
-                if not isinstance(p, np.ndarray)]
+        self._drain_deferred(force=True)
+        pend = [(i, e[1]) for i, e in enumerate(self._traj)
+                if len(e) == 2 and not isinstance(e[1], np.ndarray)]
         if pend:
             got = jax.device_get([p for _, p in pend])   # one batched fetch
             for (i, _), arr in zip(pend, got):
                 m = np.eye(4)
                 m[:3, :4] = np.asarray(arr, np.float64)
-                self.trajectory[i] = (self.trajectory[i][0], m)
+                self._traj[i] = (self._traj[i][0], m)
 
     def _t_rel(self, timestamp: float) -> float:
         """Offset seconds from the session time base (f64 host subtraction;
@@ -503,6 +574,8 @@ class SlamSystem:
         self.frames_since_kf = 0
         self._last_kf_time = timestamp
         self.state = TrackingState.OK
+        self._gen_counter += 1
+        self._kf_gen[self.ref_kf] = self._gen_counter
         if self.imu is not None:
             self.imu.pending = None  # first KF: no predecessor segment
             self.imu.on_keyframe(int(kf_slot))
@@ -539,6 +612,9 @@ class SlamSystem:
         self.frames_since_kf = 0
         self._last_kf_time = timestamp
         self.state = TrackingState.OK
+        self._gen_counter += 2
+        self._kf_gen[int(s1)] = self._gen_counter - 1
+        self._kf_gen[int(s2)] = self._gen_counter
         self._pending_init_frame = None
         if self.imu is not None:
             # register both init KFs; the f1->f2 IMU segment is folded into
@@ -1103,34 +1179,31 @@ class SlamSystem:
         self.frames_since_kf = 0
         self._last_kf_time = timestamp
         self._vi_prior = None
+        self._gen_counter += 1
+        self._kf_gen[kf_slot] = self._gen_counter
         self._kf_valid_h[kf_slot] = True
         self._kf_map_h[kf_slot] = self._active_map_h
         if use_vi and imu.body is not None:
             imu.body = imu.body_from_cam(self.cur_rot, self.cur_t,
                                          v=imu.body.v)
-        sc = np.asarray(scalars)                 # the one sync of the KF
-        culled_i = int(sc[0])
-        if culled_i >= 0:
-            self._on_kf_culled(culled_i)
-            self._kf_valid_h[culled_i] = False
+        # No sync: start the scalar transfer now and read it `fused_lag`
+        # processed frames later (_drain_deferred). The cull bookkeeping
+        # (retrieval DB erase, IMU segment merge, slot mirror) tolerates the
+        # lag — the mirror only over-reports occupancy meanwhile.
+        scalars.copy_to_host_async()
+        self._deferred.append(dict(scalars=scalars,
+                                   countdown=max(self.cfg.fused_lag, 1)))
+        if self.loop_closer is not None:
+            # place recognition as one more async dispatch per KF: the
+            # consistency-matured candidate (rare) is acted on lag frames
+            # later in _drain_deferred — the steady-state "no loop" path
+            # adds zero blocking reads (LoopClosing thread parity: the
+            # reference's detection also trails the KF by a queue hop)
+            scal = self.loop_closer.begin_detect(self.ms, kf_slot)
+            self._deferred.append(dict(loop_scalars=scal, kf=kf_slot,
+                                       countdown=max(self.cfg.fused_lag, 1)))
         self.timers.add("New_KF",
                         (__import__("time").perf_counter() - _t_kf) * 1000)
-        if self.loop_closer is not None:
-            self.ms, found = self.loop_closer.on_keyframe(
-                self.ms, kf_slot,
-                inertial=(imu is not None and imu.initialized))
-            self._mirror_dirty = True if found else self._mirror_dirty
-            if found:
-                self.cur_rot = self.ms.kf_rot[kf_slot]
-                self.cur_t = self.ms.kf_t[kf_slot]
-                self.has_vel = False
-                if imu is not None and imu.body is not None:
-                    imu.body = imu.body_from_cam(
-                        self.cur_rot, self.cur_t, v=imu.body.v)
-                if self._gba is not None and self.cfg.loop.async_global_ba:
-                    self._gba.abort()
-                    self._gba.start(self.ms)
-                self._local_masks = None
 
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
@@ -1150,6 +1223,8 @@ class SlamSystem:
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
         self._last_kf_time = timestamp
+        self._gen_counter += 1
+        self._kf_gen[self.ref_kf] = self._gen_counter
         # new KF: next frame tracks against the map-anchored KF state
         # (LastKeyFrame mode), restarting the frame-to-frame prior chain
         self._vi_prior = None
@@ -1312,7 +1387,41 @@ class SlamSystem:
         return out
 
     def _record_pose(self, timestamp: float):
-        self.trajectory.append((timestamp, self.current_pose_wc()))
+        self._traj.append((timestamp, self.current_pose_wc()))
+
+    @property
+    def trajectory(self):
+        """[(t, Twc 4x4)] with fused-path entries rebased onto their
+        reference KF's current pose: T_cw = T_cr ∘ T_rw(now), so loop /
+        GBA corrections apply retroactively (SaveTrajectoryTUM parity).
+        Entries whose ref KF was culled or whose slot was recycled keep
+        their as-tracked absolute pose."""
+        self._flush_pending()
+        rich = [e for e in self._traj if len(e) == 5]
+        if not rich:
+            return [(e[0], e[1]) for e in self._traj]
+        kf_rot, kf_t, kf_valid = jax.device_get(
+            (self.ms.kf_rot, self.ms.kf_t, self.ms.kf_valid))
+        kf_rot = np.asarray(kf_rot, np.float64)
+        kf_t = np.asarray(kf_t, np.float64)
+        out = []
+        for e in self._traj:
+            if len(e) == 2:
+                out.append(e)
+                continue
+            ts, twc, ref, gen, trel = e
+            if not (0 <= ref < len(kf_valid) and bool(kf_valid[ref])
+                    and self._kf_gen.get(ref) == gen):
+                out.append((ts, twc))
+                continue
+            r_cr, t_cr = trel[:, :3], trel[:, 3]
+            r_cw = r_cr @ kf_rot[ref]
+            t_cw = r_cr @ kf_t[ref] + t_cr
+            m = np.eye(4)
+            m[:3, :3] = r_cw.T
+            m[:3, 3] = -r_cw.T @ t_cw
+            out.append((ts, m))
+        return out
 
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode: tracking-only, map frozen
@@ -1325,6 +1434,7 @@ class SlamSystem:
     def reset(self):
         """System::Reset: wipe the whole Atlas and restart."""
         self._pending_frames.clear()
+        self._deferred.clear()
         self._mirror_dirty = True
         n_kp_total = self.cfg.frame.orb.n_features + self.cfg.frame.n_of_slots
         self.ms = M.create(self.cfg.k_max, n_kp_total, self.cfg.m_max)
@@ -1341,6 +1451,7 @@ class SlamSystem:
         """System::ResetActiveMap: drop only the active map's contents and
         reinitialize in a fresh Atlas map."""
         self._pending_frames.clear()
+        self._deferred.clear()
         self._mirror_dirty = True
         self.ms = M.create_new_map(self.ms)
         self.state = TrackingState.NOT_INITIALIZED

@@ -230,55 +230,60 @@ def track_local_map(ms: M.MapState, frame: FrameData, obs_mp: jnp.ndarray,
     incidence + covisibility matmuls dominate per-frame cost at scale)."""
     feat = frame.feat
     if local_masks is None:
-        kf_mask, mp_mask = M.local_window(ms, ref_kf, cfg.local_window)
+        _, _, cand_idx = M.local_window(ms, ref_kf, cfg.local_window,
+                                        cfg.lm_max_candidates)
+        mp_mask = None
     else:
-        kf_mask, mp_mask = local_masks
+        _, mp_mask, cand_idx = local_masks
 
-    uv_proj, z, in_img = _project(rot, t, ms.mp_pos, cfg)
+    # per-frame work touches ONLY the compacted candidate subset [C] —
+    # the O(M) window compaction ran once per map mutation (M.local_window)
+    cand_valid = ms.mp_valid[cand_idx]
+    if mp_mask is not None:
+        cand_valid = cand_valid & mp_mask[cand_idx]
+    pos_c = ms.mp_pos[cand_idx]
+    uv_proj, z, in_img = _project(rot, t, pos_c, cfg)
     # skip points already matched in this frame
     already = jnp.zeros((ms.m_max,), bool).at[jnp.maximum(obs_mp, 0)].set(obs_mp >= 0)
-    cand = mp_mask & in_img & ~already
+    cand = cand_valid & in_img & ~already[cand_idx]
 
     # frustum gates (Frame::isInFrustum, /root/reference/src/Frame.cc:876):
     # distance within the point's scale-invariance band and viewing
     # direction within 60 deg of the stored normal (viewingCosLimit=0.5)
     cam_center = -(rot.T @ t)
-    dvec = ms.mp_pos - cam_center
+    dvec = pos_c - cam_center
     dist = jnp.linalg.norm(dvec, axis=1)
-    scale_ok = (dist > 0.8 * ms.mp_min_dist) & (dist < 1.2 * ms.mp_max_dist)
-    cand = cand & (scale_ok | (ms.mp_max_dist <= 0))
+    min_d_c = ms.mp_min_dist[cand_idx]
+    max_d_c = ms.mp_max_dist[cand_idx]
+    scale_ok = (dist > 0.8 * min_d_c) & (dist < 1.2 * max_d_c)
+    cand = cand & (scale_ok | (max_d_c <= 0))
     view = dvec / jnp.maximum(dist, 1e-6)[:, None]
-    vcos = jnp.sum(view * ms.mp_normal, axis=1)
-    has_normal = jnp.sum(ms.mp_normal ** 2, axis=1) > 0.25
+    normal_c = ms.mp_normal[cand_idx]
+    vcos = jnp.sum(view * normal_c, axis=1)
+    has_normal = jnp.sum(normal_c ** 2, axis=1) > 0.25
     cand = cand & ((vcos > 0.5) | ~has_normal)
 
     # predicted octave from distance (MapPoint::PredictScale)
     log_sf = jnp.log(jnp.float32(cfg.scale_factor))
-    ratio_d = jnp.maximum(ms.mp_max_dist, 1e-6) / jnp.maximum(dist, 1e-6)
+    ratio_d = jnp.maximum(max_d_c, 1e-6) / jnp.maximum(dist, 1e-6)
     level_pred = jnp.clip(jnp.ceil(jnp.log(ratio_d) / log_sf),
                           0, cfg.n_levels - 1).astype(jnp.int32)
 
-    # cap the candidate set: the dense [M, N] search tile is top_k-bound on
-    # TPU; 2048 candidates cover any realistic local window
-    nc = min(cfg.lm_max_candidates, ms.m_max)
-    _, cand_idx = jax.lax.top_k(cand.astype(jnp.float32)
-                                - 1e-7 * jnp.arange(ms.m_max), nc)
-    cand_sub = cand[cand_idx]
     # radius by viewing cos (SearchLocalPoints: 2.5 px head-on, 4.0 px
     # oblique), octave-scaled; search_radius_lm is the th multiplier (=5 ->
     # the reference's 2.5/4.0 at level 0)
-    r_view = jnp.where(vcos[cand_idx] >= 0.998, 0.5, 0.8)
+    r_view = jnp.where(vcos >= 0.998, 0.5, 0.8)
     radius = (cfg.search_radius_lm * r_view
-              * cfg.scale_factor ** level_pred[cand_idx].astype(jnp.float32))
+              * cfg.scale_factor ** level_pred.astype(jnp.float32))
     m_idx, m_dist = matching.search_by_projection(
-        uv_proj[cand_idx], level_pred[cand_idx], cand_sub,
-        ms.mp_desc[cand_idx],
+        uv_proj, level_pred, cand, ms.mp_desc[cand_idx],
         feat.uv, feat.level, feat.desc,
         feat.valid & ~(obs_mp >= 0),  # unmatched slots only
         radius, max_dist=matching.TH_HIGH)
 
     # visible counter: candidates in frustum
-    visible_add = cand.astype(jnp.float32)
+    visible_add = jnp.zeros((ms.m_max,)).at[cand_idx].add(
+        cand.astype(jnp.float32), mode="drop")
     tgt = jnp.where(m_idx >= 0, m_idx, feat.capacity)
     new_obs = obs_mp.at[tgt].set(cand_idx.astype(jnp.int32), mode="drop")
     # keep pre-existing assignments where present

@@ -263,10 +263,17 @@ def mp_observation_count(ms: MapState, incidence=None) -> jnp.ndarray:
     return jnp.sum(inc, axis=0).astype(jnp.int32)
 
 
-def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10):
+def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10,
+                 n_cand: int = 2048):
     """Local-map KF selection: top-k1 covisible + the center
     (Tracking::UpdateLocalKeyFrames, /root/reference/src/Tracking.cc:4397).
-    Returns ([K] bool local-KF mask, [M] bool local-MP mask)."""
+    Returns ([K] bool local-KF mask, [M] bool local-MP mask, [n_cand] int32
+    compacted local-MP indices).
+
+    The compacted index list is the per-frame tracker's working set: the
+    O(M) top_k compaction runs here, ONCE per map mutation (mapping_step /
+    loop events), so track_local_map projects and gates only n_cand points
+    per frame instead of all m_max."""
     cov = covisibility(ms)
     row = cov[center_kf] * ms.kf_valid * (ms.kf_map_id == ms.active_map)
     _, top = jax.lax.top_k(row, min(k1, ms.k_max))
@@ -274,7 +281,12 @@ def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10):
     kf_mask = kf_mask.at[center_kf].set(True)
     inc = observation_incidence(ms)
     mp_mask = (jnp.einsum("k,km->m", kf_mask.astype(jnp.float32), inc) > 0)
-    return kf_mask, mp_mask & ms.mp_valid
+    mp_mask = mp_mask & ms.mp_valid
+    _, cand_idx = jax.lax.top_k(
+        mp_mask.astype(jnp.float32)
+        - 1e-7 * jnp.arange(ms.m_max, dtype=jnp.float32),
+        min(n_cand, ms.m_max))
+    return kf_mask, mp_mask, cand_idx.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
