@@ -54,6 +54,37 @@ class ImuConfig:
 
 _IDENT_PREINT = None
 
+_INIT_W = 10   # max KF window for init / scale refinement (the reference
+               # initializes over ~10 recent KFs, LocalMapping.cc:1552)
+
+
+@jax.jit
+def _gather_kf_states(ms: M.MapState, idx):
+    """One fixed-shape dispatch packing the init window's KF states
+    (rot 9, t 3, vel 3, time 1) into a [_INIT_W,16] tile for a single
+    host read — the numpy init machine's only device input."""
+    rot = ms.kf_rot[idx].reshape(_INIT_W, 9)
+    return jnp.concatenate(
+        [rot, ms.kf_t[idx], ms.kf_vel[idx],
+         ms.kf_time[idx].astype(jnp.float32)[:, None]], axis=1)
+
+
+@jax.jit
+def _apply_imu_init(ms: M.MapState, r_wg, scale, idx, valid, vels, bias):
+    """One fixed-shape dispatch applying a successful IMU init: gravity/scale
+    map alignment + per-KF velocity/bias writes (ApplyScaledRotation +
+    UpdateFrameIMU essence)."""
+    ms = M.apply_scaled_rotation(ms, r_wg, scale)
+    idx_s = jnp.where(valid, idx, ms.kf_vel.shape[0])   # OOB rows dropped
+    kf_vel = ms.kf_vel.at[idx_s].set(vels, mode="drop")
+    kf_bias = ms.kf_bias.at[idx_s].set(
+        jnp.broadcast_to(bias, (idx_s.shape[0], 6)), mode="drop")
+    return ms._replace(kf_vel=kf_vel, kf_bias=kf_bias,
+                       imu_initialized=jnp.ones((), bool))
+
+
+_apply_scale_rot = jax.jit(M.apply_scaled_rotation)
+
 
 def _identity_preint_np():
     """Host-numpy identity Preintegrated (cached; building it eagerly on the
@@ -99,22 +130,34 @@ class InertialTracker:
             np.asarray(self.calib.cov_walk) + 1e-12 * np.eye(6))
 
     _cpu_preintegrate = None   # class-level cache of the CPU-pinned jit
+    _calib_np = None           # (cov, cov_walk) host mirrors for the C++ path
 
-    @classmethod
-    def _preintegrate_on_cpu(cls, acc, gyro, dts, bias, calib):
-        """Preintegrate a KF segment on the HOST CPU backend.
+    def _preintegrate_on_cpu(self, acc, gyro, dts, bias, calib):
+        """Preintegrate a KF segment on the HOST.
 
         The segment inputs are host numpy and every consumer
         (build_segments, try_initialize) wants host numpy back; running the
         512-step scan on the tunneled TPU would serialize behind all queued
-        frame/mapping programs and pay a network round trip on read-back —
-        this was the blocking part of InertialTracker.on_keyframe."""
+        frame/mapping programs and pay a network round trip on read-back.
+        Production path = the native C++ preintegrator (~10 us for 512
+        samples, native/imu_preint.cpp); fallback = a CPU-backend jit of the
+        same scan."""
+        from geoflowslam_tpu.imu import native_preint as NP
+
+        bias = np.asarray(bias, np.float32)
+        if NP.available():
+            if self._calib_np is None:
+                self._calib_np = (np.asarray(calib.cov, np.float32),
+                                  np.asarray(calib.cov_walk, np.float32))
+            cov_n, cov_w = self._calib_np
+            p = NP.preintegrate_np(acc, gyro, dts, bias, cov_n, cov_w)
+            if p is not None:
+                return p
+        cls = type(self)
         if cls._cpu_preintegrate is None:
             cpu = jax.devices("cpu")[0]
             cls._cpu_preintegrate = jax.jit(pre.preintegrate.__wrapped__,
                                             device=cpu)
-        bias = np.asarray(bias, np.float32) if not isinstance(bias, np.ndarray) \
-            else bias
         return cls._cpu_preintegrate(acc, gyro, dts, bias, calib)
 
     @property
@@ -135,14 +178,15 @@ class InertialTracker:
         if value is None:
             self._chunks = []
         else:
-            self._chunks = [(value.meas_acc, value.meas_gyro, value.meas_dt)]
+            self._chunks = [(value.meas_acc, value.meas_gyro, value.meas_dt,
+                             None)]
 
     def _stack_chunks_np(self):
         """Compact + pad the raw sample chunks to the fixed capacity (host
         numpy; chunk entries may be device arrays from the staged path)."""
-        acc = np.concatenate([np.asarray(a) for a, _, _ in self._chunks])
-        gyro = np.concatenate([np.asarray(g) for _, g, _ in self._chunks])
-        dts = np.concatenate([np.asarray(d) for _, _, d in self._chunks])
+        acc = np.concatenate([np.asarray(c[0]) for c in self._chunks])
+        gyro = np.concatenate([np.asarray(c[1]) for c in self._chunks])
+        dts = np.concatenate([np.asarray(c[2]) for c in self._chunks])
         # compact valid rows first, pad/truncate to the fixed capacity
         sel = dts > 0
         acc, gyro, dts = acc[sel], gyro[sel], dts[sel]
@@ -161,11 +205,14 @@ class InertialTracker:
 
     # -- per-frame ---------------------------------------------------------
 
-    def preintegrate_frame(self, acc, gyro, dts) -> pre.Preintegrated:
-        """Preintegration for the gap (last frame, this frame]."""
+    def preintegrate_frame(self, acc, gyro, dts,
+                           timestamp=None) -> pre.Preintegrated:
+        """Preintegration for the gap (last frame, this frame]. `timestamp`
+        (the frame's time) tags the chunk so a later deferred KF decision
+        can split the pending segment exactly at the KF frame."""
         p = pre.preintegrate(jnp.asarray(acc), jnp.asarray(gyro),
                              jnp.asarray(dts), self.bias, self.calib)
-        self._chunks.append((acc, gyro, dts))
+        self._chunks.append((acc, gyro, dts, timestamp))
         return p
 
     def predict(self, p_frame: pre.Preintegrated):
@@ -193,8 +240,8 @@ class InertialTracker:
     def merge_segments(self, a: pre.Preintegrated, b: pre.Preintegrated):
         """MergePrevious with fixed output capacity (decimating compaction)."""
         saved = self._chunks
-        self._chunks = [(a.meas_acc, a.meas_gyro, a.meas_dt),
-                        (b.meas_acc, b.meas_gyro, b.meas_dt)]
+        self._chunks = [(a.meas_acc, a.meas_gyro, a.meas_dt, None),
+                        (b.meas_acc, b.meas_gyro, b.meas_dt, None)]
         acc, gyro, dts = self._stack_chunks_np()
         self._chunks = saved
         return self._preintegrate_on_cpu(acc, gyro, dts,
@@ -202,17 +249,34 @@ class InertialTracker:
 
     # -- keyframe hooks ----------------------------------------------------
 
-    def on_keyframe(self, kf_slot: int):
+    def on_keyframe(self, kf_slot: int, upto_ts: Optional[float] = None):
         """Bind the pending preintegration to the new KF and reset it.
 
-        The preintegration is computed on the CPU backend and stored as a
+        `upto_ts` = the KF frame's timestamp: KF decisions on the fused path
+        run a read-batch behind dispatch, so by decision time the chunk list
+        already holds IMU samples from frames AFTER the keyframe — only
+        chunks up to the KF frame belong to its segment; the rest stay
+        pending for the next KF (without the split, the overshooting
+        segment broke the IMU-init position constraints).
+
+        The preintegration is computed on the host and stored as a
         HOST-numpy pytree, so this never blocks on the TPU queue — the per-KF
         window stacking (build_segments) is pure numpy."""
+        if upto_ts is None:
+            take, keep = self._chunks, []
+        else:
+            take = [c for c in self._chunks
+                    if c[3] is None or c[3] <= upto_ts + 1e-9]
+            keep = [c for c in self._chunks
+                    if not (c[3] is None or c[3] <= upto_ts + 1e-9)]
+        saved = self._chunks
+        self._chunks = take
         p = self.pending
+        self._chunks = saved
         if p is not None:
             self.kf_preints[kf_slot] = jax.tree_util.tree_map(np.asarray, p)
         self.kf_order.append(kf_slot)
-        self.pending = None
+        self._chunks = keep
 
     def contiguous_window(self, max_kfs: int):
         """Longest suffix of the KF chain where every segment has a
@@ -271,110 +335,123 @@ class InertialTracker:
 
     # -- initialization ----------------------------------------------------
 
+    def _chain_suffix(self, cap: int = _INIT_W):
+        """Longest suffix of the KF chain where every segment has a
+        preintegration, capped at `cap` (host bookkeeping only)."""
+        chain = []
+        for s in reversed(self.kf_order):
+            if not chain:
+                chain.append(s)
+                continue
+            if chain[-1] in self.kf_preints:
+                chain.append(s)
+            else:
+                break
+        return list(reversed(chain))[-cap:]
+
+    def _gather_states_np(self, ms: M.MapState, chain):
+        """Host-numpy (r_wb [n,3,3], p_wb [n,3], v_wb [n,3], times [n]) for
+        the chain via ONE fixed-shape device dispatch + one read."""
+        idx = np.full((_INIT_W,), chain[0], np.int32)
+        idx[:len(chain)] = chain
+        pkt = np.asarray(jax.device_get(
+            _gather_kf_states(ms, jnp.asarray(idx))))[:len(chain)]
+        rots_cw = pkt[:, :9].reshape(-1, 3, 3).astype(np.float64)
+        ts_cw = pkt[:, 9:12].astype(np.float64)
+        vels = pkt[:, 12:15].astype(np.float64)
+        times = pkt[:, 15].astype(np.float64)
+        r_cb = np.asarray(self.r_cb, np.float64)
+        t_cb = np.asarray(self.t_cb, np.float64)
+        r_wc = np.swapaxes(rots_cw, 1, 2)
+        t_wc = -np.einsum("nij,nj->ni", r_wc, ts_cw)
+        r_wb = r_wc @ r_cb
+        p_wb = np.einsum("nij,j->ni", r_wc, t_cb) + t_wc
+        return r_wb, p_wb, vels, times
+
     def scale_refinement(self, ms: M.MapState):
         """LocalMapping::ScaleRefinement (/root/reference/src/LocalMapping.cc
         :2446): after IMU init, periodically re-estimate the monocular map
         scale (+ small gravity-direction correction) against the
         preintegrated segments using the map's current velocities, and
         rescale the map when it drifted (|s-1| > 0.002 gate as the
-        reference's InertialOptimization(Rwg, scale) consumer)."""
-        chain = []
-        for s in reversed(self.kf_order):
-            if not chain:
-                chain.append(s)
-                continue
-            if chain[-1] in self.kf_preints:
-                chain.append(s)
-            else:
-                break
-        chain = list(reversed(chain))[-10:]
+        reference's InertialOptimization(Rwg, scale) consumer). Solved on
+        the host (imu/init_np.py); one device gather + one apply."""
+        from geoflowslam_tpu.imu import init_np as NI
+
+        chain = self._chain_suffix()
         if len(chain) < 4:
             return ms
-        r_wb, p_wb, v_wb = [], [], []
-        for s in chain:
-            b = self.body_from_cam(ms.kf_rot[s], ms.kf_t[s])
-            r_wb.append(b.r_wb)
-            p_wb.append(b.p)
-            v_wb.append(ms.kf_vel[s])
-        r_wb = jnp.stack(r_wb)
-        p_wb = jnp.stack(p_wb)
-        v_wb = jnp.stack(v_wb)
-        pr = [pre.reintegrate(self.kf_preints[s], self.bias, self.calib)
-              for s in chain[1:]]
-        scale, grav = VI.solve_scale_refinement(
-            r_wb, p_wb, jnp.stack([p.dt for p in pr]),
-            jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
-            v_wb[:-1])
-        s_f = float(scale)
+        r_wb, p_wb, v_wb, _ = self._gather_states_np(ms, chain)
+        bias = (self.bias_host if self.bias_host is not None
+                else np.asarray(self.bias, np.float32))
+        pr = [self._preintegrate_on_cpu(
+                  np.asarray(p.meas_acc), np.asarray(p.meas_gyro),
+                  np.asarray(p.meas_dt), bias, self.calib)
+              for p in (self.kf_preints[s] for s in chain[1:])]
+        s_f, grav = NI.solve_scale_refinement_np(
+            r_wb, p_wb, np.asarray([float(p.dt) for p in pr]),
+            np.stack([np.asarray(p.dV) for p in pr]),
+            np.stack([np.asarray(p.dP) for p in pr]), v_wb[:-1])
         if not (0.3 < s_f < 3.0):
             return ms
         if abs(s_f - 1.0) <= 0.002:
             return ms
-        r_wg = VI.gravity_alignment_rotation(grav)
-        return M.apply_scaled_rotation(ms, r_wg, jnp.asarray(s_f, jnp.float32))
+        r_wg = NI.gravity_alignment_rotation_np(grav)
+        return _apply_scale_rot(ms, r_wg, np.float32(s_f))
 
     def try_initialize(self, ms: M.MapState, scale_free: bool = False):
-        """InitializeIMU essence. Returns (ms, did_init)."""
+        """InitializeIMU essence. Returns (ms, did_init).
+
+        Runs on the HOST in numpy (imu/init_np.py): the window never exceeds
+        _INIT_W KFs, and running the growing-chain solves on the tunneled
+        device recompiled multi-second programs on every pre-init keyframe.
+        Device work = one fixed-shape state gather + one fixed-shape apply."""
+        from geoflowslam_tpu.imu import init_np as NI
+
         if self.initialized or len(self.kf_order) < self.cfg.init_min_kfs:
             return ms, False
-        # longest contiguous suffix of the KF chain where every segment has a
-        # preintegration (mono init inserts two KFs without one)
-        chain = []
-        for s in reversed(self.kf_order):
-            if not chain:
-                chain.append(s)
-                continue
-            if chain[-1] in self.kf_preints:
-                chain.append(s)
-            else:
-                break
-        chain = list(reversed(chain))
-        # cap the window (the reference initializes over ~10 recent KFs;
-        # older monocular KFs carry accumulated scale drift)
-        chain = chain[-10:]
+        # longest contiguous suffix of the KF chain where every segment has
+        # a preintegration (mono init inserts two KFs without one), capped
+        # (the reference initializes over ~10 recent KFs; older monocular
+        # KFs carry accumulated scale drift)
+        chain = self._chain_suffix()
         slots = chain[1:]
         if len(slots) < self.cfg.init_min_kfs - 1:
             return ms, False
-        t_span = float(ms.kf_time[slots[-1]] - ms.kf_time[slots[0]])
+        r_wb, p_wb, _, times = self._gather_states_np(ms, chain)
+        t_span = float(times[-1] - times[1])
         if t_span < self.cfg.init_min_time:
             return ms, False
-        # body rotations/positions from camera poses
-        r_wb, p_wb = [], []
-        for s in chain:
-            rot_cw = ms.kf_rot[s]
-            t_cw = ms.kf_t[s]
-            b = self.body_from_cam(rot_cw, t_cw)
-            r_wb.append(b.r_wb)
-            p_wb.append(b.p)
-        r_wb = jnp.stack(r_wb)
-        p_wb = jnp.stack(p_wb)
 
-        pr = [self.kf_preints[s] for s in chain[1:]]
-        valid = jnp.ones(len(pr), bool)
+        pr = [self.kf_preints[s] for s in slots]
 
         # 1) gyro bias
-        bg = VI.solve_gyro_bias(r_wb, jnp.stack([p.dR for p in pr]),
-                                jnp.stack([p.JRg for p in pr]), valid)
-        new_bias = jnp.concatenate([bg, jnp.zeros(3)])
-        pr = [pre.reintegrate(p, new_bias, self.calib) for p in pr]
+        bg = NI.solve_gyro_bias_np(
+            r_wb, np.stack([np.asarray(p.dR) for p in pr]),
+            np.stack([np.asarray(p.JRg) for p in pr]))
+        new_bias = np.concatenate([bg, np.zeros(3, np.float32)])
+        pr = [self._preintegrate_on_cpu(
+                  np.asarray(p.meas_acc), np.asarray(p.meas_gyro),
+                  np.asarray(p.meas_dt), new_bias, self.calib) for p in pr]
+        dts = np.asarray([float(p.dt) for p in pr])
+        dVs = np.stack([np.asarray(p.dV) for p in pr])
+        dPs = np.stack([np.asarray(p.dP) for p in pr])
 
         # 2) gravity + velocities (+ scale for mono); method 2 also
         # estimates the accelerometer bias (analytic/MQH accelerometer)
-        ba = jnp.zeros(3)
+        ba = np.zeros(3, np.float32)
         if self.cfg.imu_method == 2:
-            vels, grav, ba, scale = VI.solve_accelerometer_analytic(
-                r_wb, p_wb, jnp.stack([p.dt for p in pr]),
-                jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
-                jnp.stack([p.JPa for p in pr]), jnp.stack([p.JVa for p in pr]),
-                valid, solve_scale=scale_free)
-            if float(jnp.linalg.norm(ba)) > 1.0:
-                ba = jnp.zeros(3)   # implausible bias: keep gravity/scale only
+            vels, grav, ba, scale = NI.solve_accelerometer_analytic_np(
+                r_wb, p_wb, dts, dVs, dPs,
+                np.stack([np.asarray(p.JPa) for p in pr]),
+                np.stack([np.asarray(p.JVa) for p in pr]),
+                solve_scale=scale_free)
+            if np.linalg.norm(ba) > 1.0:
+                ba = np.zeros(3, np.float32)   # implausible: keep g/s only
         else:
-            vels, grav, scale = VI.solve_gravity_scale_velocities(
-                r_wb, p_wb, jnp.stack([p.dt for p in pr]),
-                jnp.stack([p.dV for p in pr]), jnp.stack([p.dP for p in pr]),
-                valid, solve_scale=scale_free)
-        g_norm = float(jnp.linalg.norm(grav))
+            vels, grav, scale = NI.solve_gravity_scale_velocities_np(
+                r_wb, p_wb, dts, dVs, dPs, solve_scale=scale_free)
+        g_norm = float(np.linalg.norm(grav))
         if not (7.0 < g_norm < 12.0):
             return ms, False  # bad init; retry later
         if scale_free and not (0.05 < float(scale) < 20.0):
@@ -383,33 +460,33 @@ class InertialTracker:
         # position constraints (guards against degenerate mono excitation)
         resid, mags = [], []
         for i, p in enumerate(pr):
-            dt = float(p.dt)
+            dt = dts[i]
             lhs = float(scale) * (p_wb[i + 1] - p_wb[i])
-            rhs = vels[i] * dt + 0.5 * grav * dt * dt + r_wb[i] @ p.dP
-            resid.append(float(jnp.linalg.norm(lhs - rhs)))
-            mags.append(float(jnp.linalg.norm(lhs)) + 1e-3)
+            rhs = vels[i] * dt + 0.5 * grav * dt * dt + r_wb[i] @ dPs[i]
+            resid.append(float(np.linalg.norm(lhs - rhs)))
+            mags.append(float(np.linalg.norm(lhs)) + 1e-3)
         if np.median(resid) > 0.15 * np.median(mags) + 0.02:
             return ms, False
 
-        # 3) align gravity to -z and rescale the map
-        r_wg = VI.gravity_alignment_rotation(grav)
-        ms = M.apply_scaled_rotation(ms, r_wg, jnp.asarray(scale, jnp.float32))
-        # velocities from the linear solve are already METRIC; they only
-        # rotate with the gravity alignment (scaling them again was a 5x
-        # velocity error that dragged the post-init BA off-scale)
-        vels_aligned = vels @ r_wg.T
-        kf_vel = ms.kf_vel
-        for i, s in enumerate(chain):
-            kf_vel = kf_vel.at[s].set(vels_aligned[i])
-        ms = ms._replace(kf_vel=kf_vel,
-                         kf_bias=ms.kf_bias.at[jnp.asarray(chain)].set(new_bias),
-                         imu_initialized=jnp.ones((), bool))
-
+        # 3) align gravity to -z and rescale the map (one device apply).
+        # Velocities from the linear solve are already METRIC; they only
+        # rotate with the gravity alignment.
+        r_wg = NI.gravity_alignment_rotation_np(grav)
+        vels_aligned = (vels @ r_wg.T.astype(np.float64)).astype(np.float32)
         if self.cfg.imu_method == 2:
-            new_bias = jnp.concatenate([new_bias[:3], ba])
-            ms = ms._replace(
-                kf_bias=ms.kf_bias.at[jnp.asarray(chain)].set(new_bias))
-        self.bias = new_bias
+            new_bias = np.concatenate([new_bias[:3], ba])
+        idx = np.full((_INIT_W,), self.seg_capacity, np.int32)
+        valid = np.zeros((_INIT_W,), bool)
+        idx[:len(chain)] = chain
+        valid[:len(chain)] = True
+        vels_p = np.zeros((_INIT_W, 3), np.float32)
+        vels_p[:len(chain)] = vels_aligned
+        ms = _apply_imu_init(ms, r_wg, np.float32(scale),
+                             jnp.asarray(idx), jnp.asarray(valid),
+                             jnp.asarray(vels_p),
+                             jnp.asarray(new_bias, jnp.float32))
+        self.bias = np.asarray(new_bias, np.float32)
+        self.bias_host = np.asarray(new_bias, np.float32)
         self.initialized = True
         # current body state must be re-derived by the caller from the
         # (re-aligned) camera pose; velocity from the last KF
