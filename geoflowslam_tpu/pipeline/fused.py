@@ -55,6 +55,21 @@ class FusedOut(NamedTuple):
                              # the reference's mlRelativeFramePoses
                              # (SaveTrajectoryTUM rebasing, System.cc:994+)
     bias_out: Optional[jnp.ndarray]  # [6] updated (bg, ba) in imu modes
+    host_pkt: jnp.ndarray    # [34] f32: scalars(4) + twc(12) + trel(12) +
+                             # bias(6) packed into ONE array (kept for the
+                             # flush path and tests)
+    pkt_window: jnp.ndarray  # [W,35] rolling window of the last W frames'
+                             # [seq, host_pkt] rows. The host decision loop
+                             # reads SNAPSHOTS of this ring from a side
+                             # thread at whatever rate the tunnel sustains
+                             # and processes unseen rows by seq — a blocking
+                             # per-batch read costs 0.2-1 s here, so
+                             # decisions self-pace instead of stalling the
+                             # dispatch loop (LocalMapping-queue parity)
+
+
+PKT_WINDOW = 64     # ring rows; must exceed frames-per-read on the tunnel
+PKT_ROW = 35        # 1 seq + 4 scalars + 12 twc + 12 trel + 6 bias
 
 
 def _tree_where(c, a, b):
@@ -67,7 +82,8 @@ def _tree_where(c, a, b):
 def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                vel_rot, vel_t, use_vel, cur_rot, cur_t, ref_kf, local_masks,
                acc, gyro, dts, body, bias, prior_info, r_cb, t_cb, calib,
-               cfg: T.TrackConfig, fcfg, imu_mode: str, min_inliers: int):
+               cfg: T.TrackConfig, fcfg, imu_mode: str, min_inliers: int,
+               pkt_window=None, seq=None):
     """One fused frame. imu_mode:
       "off"   — visual only (acc/gyro/body/... may be None)
       "raw"   — IMU present but uninitialized: preintegrate only
@@ -169,7 +185,17 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                 if body_out is not None else None)
     scalars = jnp.stack([res.n_inliers, res2.n_inliers, n_vi,
                          accept.astype(jnp.int32)])
+    host_pkt = jnp.concatenate([
+        scalars.astype(jnp.float32), twc.reshape(-1), trel.reshape(-1),
+        bias_out if bias_out is not None else jnp.zeros(6)])
+    if pkt_window is None:
+        win = jnp.zeros((PKT_WINDOW, PKT_ROW), jnp.float32)
+        seq = jnp.zeros((), jnp.float32)
+    else:
+        win = pkt_window
+    row = jnp.concatenate([seq.reshape(1).astype(jnp.float32), host_pkt])
+    win = jnp.concatenate([win[1:], row[None]], axis=0)
     return FusedOut(frame=frame, rot=rot_f, t=t_f, obs_mp=obs_f, ms=ms2,
                     vel_rot=nvr, vel_t=nvt, p_frame=p_frame, body=body_out,
                     marg=marg, scalars=scalars, twc=twc, trel=trel,
-                    bias_out=bias_out)
+                    bias_out=bias_out, host_pkt=host_pkt, pkt_window=win)

@@ -85,10 +85,8 @@ class SystemConfig:
                                         # dispatch and reads them lag frames
                                         # later — every frame is a decision
                                         # frame at ~zero read cost
-    fused_lag: int = 3                  # frames between dispatch and the
-                                        # (pre-copied) decision read; >= 2
-                                        # keeps the D2H transfer fully in
-                                        # the compute shadow on the tunnel
+    fused_lag: int = 6                  # deferred per-KF scalar countdown
+                                        # (cull bookkeeping, loop scalars)
     record_reproj_err: bool = False     # per-frame reprojection-error dumps
                                         # (SaveFrame2FrameReprojErr parity)
 
@@ -185,8 +183,24 @@ class SlamSystem:
         # local-window cache: recomputed once per map mutation, not per frame
         self._local_masks = None
         self._last_levels = None   # last frame's keypoint octaves
-        # fused-path frame pipeline (depth fused_lag): deferred host decisions
-        self._pending_frames: list = []
+        # Device-resident rolling decision window (fused.PKT_WINDOW rows of
+        # [seq, pkt]): each fused frame appends its row on device; a single
+        # self-pacing reader thread snapshots the ring at whatever rate the
+        # tunnel sustains (a blocking read costs 0.2-1 s here) and the host
+        # processes unseen rows by sequence number. Decisions lag by one
+        # read duration instead of stalling the dispatch loop — the
+        # reference's LocalMapping-queue semantics (src/System.cc:218-223).
+        import queue as _queue
+        from geoflowslam_tpu.pipeline import fused as FU
+        self._pkt_window = jnp.zeros((FU.PKT_WINDOW, FU.PKT_ROW), jnp.float32)
+        self._pkt_seq = 0              # last issued sequence number
+        self._pkt_last_seq = 0         # last processed sequence number
+        self._pending_by_seq: dict = {}
+        self._pkt_in: _queue.Queue = _queue.Queue()
+        self._pkt_out: _queue.Queue = _queue.Queue()
+        self._pkt_busy = False         # a window read is in flight
+        self._recovering = False       # staged reprocess of pipelined frames
+        self._pkt_thread = None        # started lazily on first fused frame
         self._deferred: list = []      # lag-matured per-KF mapping scalars
         self._last_pose_wc = np.eye(4)
         # interleaved background global BA (LoopClosing's detached GBA
@@ -230,7 +244,7 @@ class SlamSystem:
                               timestamp: float):
         """Stereo-Inertial mode (EuRoC configs[2])."""
         assert self.imu is not None
-        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts)
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts, timestamp)
         return self.track_stereo(gray_l, gray_r, timestamp)
 
     def track_rgbd_inertial(self, gray, depth, acc, gyro, dts, timestamp: float):
@@ -239,7 +253,7 @@ class SlamSystem:
         assert self.imu is not None
         if self._can_fuse():
             return self._track_fused(gray, depth, acc, gyro, dts, timestamp)
-        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts)
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts, timestamp)
         frame = self._build_frame(jnp.asarray(gray, jnp.float32),
                                   jnp.asarray(depth, jnp.float32))
         return self._track(frame, timestamp)
@@ -316,10 +330,12 @@ class SlamSystem:
                 imu.r_cb if mode != "off" else None,
                 imu.t_cb if mode != "off" else None,
                 imu.calib if mode != "off" else None,
-                self.tcfg, self.cfg.frame, mode, self.cfg.min_inliers_ok)
+                self.tcfg, self.cfg.frame, mode, self.cfg.min_inliers_ok,
+                pkt_window=self._pkt_window,
+                seq=np.float32(self._pkt_seq + 1))
 
         if mode != "off":
-            imu._chunks.append((acc, gyro, dts))   # pending KF segment
+            imu._chunks.append((acc, gyro, dts, timestamp))  # pending KF segment
             self._p_frame = out.p_frame
 
         # Optimistically adopt the device FUTURES as the new tracking state:
@@ -339,38 +355,122 @@ class SlamSystem:
         self.last_time = timestamp
         self.n_frames += 1
 
-        # Start the D2H transfer of the decision scalars NOW (it completes in
-        # the shadow of the next frames' device compute) and defer the host
-        # decisions by `fused_lag` frames: the lagged np.asarray is then a
-        # ~0.1 ms buffer copy instead of a 25+ ms blocking tunnel round trip
-        # (measured; an interleaved dispatch/blocking-read pattern collapses
-        # the pipeline entirely). Every frame is a decision frame.
-        out.scalars.copy_to_host_async()
-        out.twc.copy_to_host_async()
-        out.trel.copy_to_host_async()
-        if out.bias_out is not None:
-            out.bias_out.copy_to_host_async()
-        self._pending_frames.append(
-            dict(out=out, ts=timestamp, mode=mode, ms_before=ms_before,
-                 ref_kf=self.ref_kf, gen=self._kf_gen.get(self.ref_kf)))
-        if len(self._pending_frames) > max(self.cfg.fused_lag, 1):
-            self._process_pending(self._pending_frames.pop(0))
+        # Register the frame's deferred decision under its sequence number;
+        # the device appended its decision row to the rolling pkt window
+        # inside frame_step. The reader thread snapshots the window at its
+        # own pace; decisions run when a snapshot containing the row lands.
+        self._pkt_seq += 1
+        self._pending_by_seq[self._pkt_seq] = dict(
+            out=out, ts=timestamp, mode=mode, ms_before=ms_before,
+            ref_kf=self.ref_kf, gen=self._kf_gen.get(self.ref_kf))
+        self._pkt_window = out.pkt_window
+        self._pkt_kick()
+        self._drain_pkt_out()
+        # Backpressure: the ring must never wrap past unprocessed rows. A
+        # read covers up to PKT_WINDOW frames, so this only trips if a
+        # single read takes longer than PKT_WINDOW frames of dispatch.
+        from geoflowslam_tpu.pipeline import fused as FU
+        if len(self._pending_by_seq) > FU.PKT_WINDOW - 8:
+            self._consume_window(np.asarray(self._pkt_window))
         return self._last_pose_wc
 
-    def _process_pending(self, ent):
+    def _pkt_kick(self):
+        """Hand the latest window snapshot to the reader thread if idle."""
+        if self._pkt_thread is None:
+            import threading as _threading
+
+            def _pkt_reader():
+                while True:
+                    item = self._pkt_in.get()
+                    if item is None:
+                        return
+                    try:
+                        win = np.asarray(item)
+                    except Exception as e:  # device error: surface, don't die
+                        win = e
+                    self._pkt_out.put(win)
+
+            self._pkt_thread = _threading.Thread(
+                target=_pkt_reader, daemon=True, name="gfs-pkt-reader")
+            self._pkt_thread.start()
+        if not self._pkt_busy:
+            self._pkt_busy = True
+            self._pkt_in.put(self._pkt_window)
+
+    def _drain_pkt_out(self):
+        """Consume completed window reads (non-blocking; main thread)."""
+        import queue as _queue
+        while True:
+            try:
+                win = self._pkt_out.get(block=False)
+            except _queue.Empty:
+                return
+            self._pkt_busy = False
+            if isinstance(win, Exception):
+                raise win
+            self._consume_window(win)
+            if self._pending_by_seq and not self._pkt_busy:
+                self._pkt_kick()
+
+    def _consume_window(self, win):
+        """Process all unseen decision rows of one window snapshot, oldest
+        first (main thread only — all host state mutation happens here)."""
+        for row in win:
+            s = int(row[0])
+            if s <= self._pkt_last_seq or s == 0:
+                continue
+            self._pkt_last_seq = s
+            ent = self._pending_by_seq.pop(s, None)
+            if ent is None:
+                continue
+            if self._recovering:
+                self._reprocess_staged(ent)
+            else:
+                self._process_pending(ent, row[1:])
+        if self._recovering:
+            # recovery: every younger already-dispatched frame passes
+            # through the staged state machine NOW, in order (the fused
+            # results were computed against the replaced pose/map state)
+            for s in sorted(self._pending_by_seq):
+                self._reprocess_staged(self._pending_by_seq.pop(s))
+                self._pkt_last_seq = max(self._pkt_last_seq, s)
+            self._recovering = False
+
+    def _reprocess_staged(self, ent):
+        """Run one already-dispatched frame through the staged state machine
+        (recovery path: its fused result is void — the map/pose state it
+        tracked against was replaced — but its FrameData and timestamp drive
+        the reference's per-frame state transitions, Tracking.cc:2042)."""
+        out, ts, mode = ent["out"], ent["ts"], ent["mode"]
+        if mode != "off" and out.p_frame is not None:
+            self._p_frame = out.p_frame
+        self._staged_step(out.frame, ts)
+        self._record_pose(ts)
+        self._last_pose_wc = self.current_pose_wc()
+
+    def _staged_step(self, frame, ts):
+        """State-dispatched staged tracking (the _track core without the
+        pipeline flush/guards — safe to call from inside the drain)."""
+        if (self.state == TrackingState.NOT_INITIALIZED
+                or self.last_obs_mp is None):
+            self._initialize(frame, ts)
+        else:
+            self._track_frame(frame, ts)
+
+    def _process_pending(self, ent, pkt):
         """Deferred per-frame host decisions: scalar read-back, trajectory,
         KF policy, VI-acceptance bookkeeping, failure recovery, GBA step.
-        Runs `fused_lag` frames behind dispatch; the reads below hit buffers
-        whose transfers were started at dispatch time (copy_to_host_async),
-        so nothing here blocks on the device."""
+        Runs a read-batch behind dispatch; `pkt` is the frame's matured
+        host packet — nothing here blocks on the device."""
         out, timestamp, mode = ent["out"], ent["ts"], ent["mode"]
         imu = self.imu
         self._drain_deferred()
-        sc = np.asarray(out.scalars)
-        twc34 = np.asarray(out.twc)
+        sc = pkt[:4]
+        twc34 = pkt[4:16].reshape(3, 4)
+        trel34 = pkt[16:28].reshape(3, 4)
         n1, n2, n_vi, vi_ok = (int(x) for x in sc)
         if mode != "off" and out.bias_out is not None and imu is not None:
-            imu.bias_host = np.asarray(out.bias_out)
+            imu.bias_host = pkt[28:34].astype(np.float32)
         n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
 
         if n_final < self.cfg.min_inliers_ok:
@@ -383,8 +483,8 @@ class SlamSystem:
                 self._vi_prior = None
                 imu.bias = out.p_frame.bias if out.p_frame is not None \
                     else imu.bias
-            self._pending_frames.clear()
-            self._track_frame(out.frame, timestamp)
+            self._recovering = True     # younger frames reprocess staged
+            self._staged_step(out.frame, timestamp)
             self._record_pose(timestamp)
             self._last_pose_wc = self.current_pose_wc()
             return
@@ -419,7 +519,7 @@ class SlamSystem:
 
         twc = np.eye(4)
         twc[:3, :4] = np.asarray(twc34, np.float64)
-        trel = np.asarray(out.trel, np.float64)
+        trel = np.asarray(trel34, np.float64)
         self._traj.append((timestamp, twc, ent["ref_kf"], ent["gen"], trel))
         self._last_pose_wc = twc
 
@@ -481,8 +581,16 @@ class SlamSystem:
     def _flush_pending(self):
         """Drain the frame pipeline (before staged-path entry, state reads,
         persistence, shutdown) and materialize any device-future poses."""
-        while self._pending_frames:
-            self._process_pending(self._pending_frames.pop(0))
+        self._drain_pkt_out()
+        if self._pending_by_seq:
+            # one blocking main-thread window read covers every pending row
+            # (the current window future postdates all of them)
+            self._consume_window(np.asarray(self._pkt_window))
+        # rows that fell off the ring (only possible if a single read
+        # lagged > PKT_WINDOW frames): reprocess through the staged machine
+        for s in sorted(self._pending_by_seq):
+            self._reprocess_staged(self._pending_by_seq.pop(s))
+            self._pkt_last_seq = max(self._pkt_last_seq, s)
         self._drain_deferred(force=True)
         pend = [(i, e[1]) for i, e in enumerate(self._traj)
                 if len(e) == 2 and not isinstance(e[1], np.ndarray)]
@@ -1133,7 +1241,7 @@ class SlamSystem:
         slots_p = np.zeros((kw,), np.int32)
         slot_valid = np.zeros((kw,), bool)
         if use_vi:
-            imu.on_keyframe(kf_slot)
+            imu.on_keyframe(kf_slot, upto_ts=timestamp)
             kw_target = 8
             it = imu.init_time
             if it is not None and not imu.viba1_done and timestamp - it > 5.0:
@@ -1231,7 +1339,7 @@ class SlamSystem:
         if self.cfg.use_icp and bool(frame.cloud_valid.any()):
             self._register_kf_icp(int(kf_slot), frame, res)
         if self.imu is not None:
-            self.imu.on_keyframe(int(kf_slot))
+            self.imu.on_keyframe(int(kf_slot), upto_ts=timestamp)
             if not self.imu.initialized:
                 self.ms, did = self.imu.try_initialize(
                     self.ms, scale_free=(self.cfg.sensor == "mono"))
@@ -1433,7 +1541,9 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset: wipe the whole Atlas and restart."""
-        self._pending_frames.clear()
+        self._pending_by_seq.clear()     # drop in-flight fused decisions
+        self._pkt_last_seq = self._pkt_seq
+        self._recovering = False
         self._deferred.clear()
         self._mirror_dirty = True
         n_kp_total = self.cfg.frame.orb.n_features + self.cfg.frame.n_of_slots
@@ -1450,7 +1560,9 @@ class SlamSystem:
     def reset_active_map(self):
         """System::ResetActiveMap: drop only the active map's contents and
         reinitialize in a fresh Atlas map."""
-        self._pending_frames.clear()
+        self._pending_by_seq.clear()     # drop in-flight fused decisions
+        self._pkt_last_seq = self._pkt_seq
+        self._recovering = False
         self._deferred.clear()
         self._mirror_dirty = True
         self.ms = M.create_new_map(self.ms)
@@ -1486,6 +1598,10 @@ class SlamSystem:
     def shutdown(self, save_dir: Optional[str] = None):
         """System::Shutdown: flush stats (+ lidar global map) to save_dir."""
         self._flush_pending()
+        if self._pkt_thread is not None:
+            self._pkt_in.put(None)          # retire the reader thread
+            self._pkt_thread.join(timeout=5.0)
+            self._pkt_thread = None
         if save_dir is None:
             return
         import os

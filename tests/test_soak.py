@@ -11,6 +11,8 @@ from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
                                           HardSyntheticSequence, Camera)
 from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
 from geoflowslam_tpu.pipeline.inertial import ImuConfig
+from geoflowslam_tpu.pipeline.loop_closing import LoopConfig
+from geoflowslam_tpu.retrieval.vocab import default_vocabulary
 from geoflowslam_tpu.state.frame import FrameConfig
 from geoflowslam_tpu.ops.extractor import OrbConfig
 from geoflowslam_tpu.eval.ate import ate_rmse
@@ -25,10 +27,10 @@ def test_hardmode_epoch_soak():
                      bf=20.0)
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
                        frame=fc, k_max=96, m_max=16384,
-                       imu=ImuConfig())
+                       imu=ImuConfig(), loop=LoopConfig())
     world = SyntheticWorld(cam)
     seq = HardSyntheticSequence(world, fps=10.0)
-    slam = SlamSystem(cfg)
+    slam = SlamSystem(cfg, vocab=default_vocabulary())
 
     t0 = 1.4e9          # epoch-scale stamps (TUM/EuRoC regime)
     n_frames = 420      # 42 s -> a full loop revisit at the 40 s period
@@ -59,15 +61,14 @@ def test_hardmode_epoch_soak():
     # the forced 0.5 s inertial cadence over 42 s plus culling stays within
     # capacity: the live-KF eviction guard never tripped (it raises)
     assert st["n_kfs"] < cfg.k_max, st
-    # No loop closure in this soak: global drift accumulates on the 40 s
-    # hard loop (fast rotation + low-texture segments), so gate LOCAL
-    # accuracy tightly (RPE) and bound the accumulated drift loosely —
-    # the structural gates above (state, capacity) are the soak's point.
+    # Loop closing is ON (LoopClosing thread parity, src/LoopClosing.cc:105)
+    # and the sequence revisits its start at the 40 s period: the loop must
+    # close and pull accumulated drift back under a tight gate.
     from geoflowslam_tpu.eval.ate import rpe
     r = rpe(slam.trajectory, gt)
     assert r["rpe_trans"] < 0.06, (r, st)
     m = ate_rmse(slam.trajectory, gt)
-    assert m["ate_rmse"] < 1.2, (m, st)
+    assert m["ate_rmse"] < 0.10, (m, st)
     # flat per-KF mapping cost: the late half must not grow with map size
     # (generous 2x bound; catches O(K*M)-per-KF regressions, not jitter)
     half = len(kf_costs) // 2
