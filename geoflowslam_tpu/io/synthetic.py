@@ -51,6 +51,10 @@ class Camera:
     cy: float = 240.0
     width: int = 640
     height: int = 480
+    # KB8 fisheye theta-polynomial coefficients (k0..k3); empty = pinhole.
+    # When set, rendering casts rays through the Kannala-Brandt model, so
+    # stereo-fisheye pipelines can be exercised end-to-end without datasets.
+    kb8: tuple = ()
 
 
 class SyntheticWorld:
@@ -80,11 +84,22 @@ class SyntheticWorld:
         cam = self.cam
         ys = jnp.arange(cam.height, dtype=jnp.float32)[:, None]
         xs = jnp.arange(cam.width, dtype=jnp.float32)[None, :]
-        dirs_c = jnp.stack([
-            jnp.broadcast_to((xs - cam.cx) / cam.fx, (cam.height, cam.width)),
-            jnp.broadcast_to((ys - cam.cy) / cam.fy, (cam.height, cam.width)),
-            jnp.ones((cam.height, cam.width), jnp.float32),
-        ], axis=-1)
+        if cam.kb8:
+            from geoflowslam_tpu.math import cameras as CAM
+            params = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy, *cam.kb8],
+                                 jnp.float32)
+            uv = jnp.stack([jnp.broadcast_to(xs, (cam.height, cam.width)),
+                            jnp.broadcast_to(ys, (cam.height, cam.width))],
+                           axis=-1)
+            dirs_c = CAM.kb8_unproject(params, uv)
+        else:
+            dirs_c = jnp.stack([
+                jnp.broadcast_to((xs - cam.cx) / cam.fx,
+                                 (cam.height, cam.width)),
+                jnp.broadcast_to((ys - cam.cy) / cam.fy,
+                                 (cam.height, cam.width)),
+                jnp.ones((cam.height, cam.width), jnp.float32),
+            ], axis=-1)
         rot_wc = rot_cw.T
         origin = -rot_wc @ t_cw                                  # camera center, world
         dirs_w = jnp.einsum("ij,hwj->hwi", rot_wc, dirs_c)

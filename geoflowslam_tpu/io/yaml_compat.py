@@ -145,7 +145,29 @@ def system_config_from_yaml(path: str, sensor: Optional[str] = None,
         sensor = "rgbd" if depth_factor != 1.0 or "RGBD.DepthMapFactor" in y \
             else "mono"
 
+    # dual-KB8 stereo rig (TUM-VI-style configs: Camera2.* + Stereo.T_c1_c2
+    # + Camera*.overlappingBegin/End, parsed by the reference's
+    # Settings::readCamera2, src/Settings.cc)
+    stereo_fisheye = None
+    if camera_model == "kb8" and "Camera2.fx" in y:
+        from geoflowslam_tpu.pipeline.system import StereoFisheyeConfig
+        t_c1_c2 = np.asarray(y.get("Stereo.T_c1_c2", np.eye(4)),
+                             np.float32).reshape(4, 4)
+        stereo_fisheye = StereoFisheyeConfig(
+            params_r=tuple(float(get(f"Camera2.{k}", 0.0))
+                           for k in ("fx", "fy", "cx", "cy",
+                                     "k1", "k2", "k3", "k4")),
+            r_lr=tuple(t_c1_c2[:3, :3].reshape(-1).tolist()),
+            t_lr=tuple(t_c1_c2[:3, 3].tolist()),
+            lapping_l=(float(get("Camera1.overlappingBegin", 0.0)),
+                       float(get("Camera1.overlappingEnd", 1e9))),
+            lapping_r=(float(get("Camera2.overlappingBegin", 0.0)),
+                       float(get("Camera2.overlappingEnd", 1e9))),
+        )
+        sensor = "stereo"
+
     cfg = SystemConfig(
+        stereo_fisheye=stereo_fisheye,
         fx=fx, fy=fy, cx=cx, cy=cy, bf=bf, frame=frame, sensor=sensor,
         imu=imu_cfg,
         close_depth=bf / fx * th_depth if th_depth > 0 else 0.0,

@@ -64,3 +64,70 @@ def stereo_match(img_l: jnp.ndarray, img_r: jnp.ndarray, uv: jnp.ndarray,
         return ur, depth
 
     return jax.vmap(one)(ui, vi, valid)
+
+
+@jax.jit
+def fisheye_stereo_match(rays_l: jnp.ndarray, desc_l: jnp.ndarray,
+                         mask_l: jnp.ndarray, sigma2_l: jnp.ndarray,
+                         rays_r: jnp.ndarray, desc_r: jnp.ndarray,
+                         mask_r: jnp.ndarray, sigma2_r: jnp.ndarray,
+                         r_lr: jnp.ndarray, t_lr: jnp.ndarray,
+                         f_err: float = 400.0):
+    """Stereo-fisheye matching + ray triangulation.
+
+    TPU-native Frame::ComputeStereoFishEyeMatches
+    (/root/reference/src/Frame.cc:1503-1577) + KannalaBrandt8::
+    TriangulateMatches (src/CameraModels/KannalaBrandt8.cpp:306-370): the
+    reference brute-force knn-matches the lapping-area keypoints with a 0.7
+    Lowe ratio, then per match unprojects both rays, gates on parallax
+    (cosParallaxRays <= 0.9998), DLT-triangulates in the left frame and
+    gates both reprojection errors at chi2 5.991 x level sigma^2. Here the
+    Hamming matrix is one MXU matmul and the whole candidate set is
+    triangulated/gated in one batched pass. Rays arrive pre-unprojected
+    (any camera model — undistortion already happened at frame build), so
+    the reprojection gate is evaluated in the pinhole-equivalent image
+    (error scaled by `f_err`), not the raw fisheye grid: identical
+    chi2 semantics, no second KB8 projection.
+
+    Args:
+      rays_l/rays_r: [N,3]/[M,3] unit-z rays per keypoint.
+      desc_*: [.,8] uint32 ORB descriptors; mask_*: validity & lapping area.
+      sigma2_*: [.] per-keypoint level sigma^2 (mvLevelSigma2[octave]).
+      r_lr, t_lr: right-cam -> left-cam rigid transform (mRlr, mtlr).
+    Returns:
+      (depth [N] z in left cam (<=0 invalid), p3d [N,3] left-cam points,
+       match_idx [N] into right keypoints or -1).
+    """
+    from geoflowslam_tpu.ops import matching
+    from geoflowslam_tpu.math.triangulate import triangulate_points
+
+    n = rays_l.shape[0]
+    # BFmatcher.knnMatch + Lowe 0.7 (Frame.cc:1523-1531); no absolute
+    # Hamming gate in the reference -> max_dist=255
+    m_idx, _ = matching.match_descriptors(desc_l, mask_l, desc_r, mask_r,
+                                          max_dist=255, ratio=0.7,
+                                          mutual=False)
+    j = jnp.maximum(m_idx, 0)
+    r2 = rays_r[j]
+    # parallax gate in the left frame: r21 = R_lr r2 (KannalaBrandt8.cpp:312)
+    r21 = r2 @ r_lr.T
+    cosp = jnp.sum(rays_l * r21, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(rays_l, axis=-1) * jnp.linalg.norm(r21, axis=-1),
+        1e-9)
+    # triangulate with left cam as world: P2 = [R_rl | -R_rl t_lr]
+    rot21 = r_lr.T
+    t21 = -rot21 @ t_lr
+    p3d, cheir = triangulate_points(rays_l, r2, rot21, t21)
+    z1 = p3d[:, 2]
+    p2c = p3d @ rot21.T + t21
+    # reprojection gates, pinhole-equivalent pixels (chi2 5.991 x sigma^2)
+    e1 = (p3d[:, :2] / jnp.maximum(z1[:, None], 1e-9)
+          - rays_l[:, :2]) * f_err
+    e2 = (p2c[:, :2] / jnp.maximum(p2c[:, 2:3], 1e-9)
+          - r2[:, :2]) * f_err
+    ok = ((m_idx >= 0) & (cosp <= 0.9998) & cheir
+          & (jnp.sum(e1 * e1, axis=-1) <= 5.991 * sigma2_l)
+          & (jnp.sum(e2 * e2, axis=-1) <= 5.991 * sigma2_r[j])
+          & (z1 > 1e-4))
+    depth = jnp.where(ok, z1, -1.0)
+    return depth, p3d, jnp.where(ok, m_idx, -1)

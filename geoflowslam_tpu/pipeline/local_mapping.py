@@ -203,12 +203,19 @@ class AsyncGBA:
     """
 
     def __init__(self, cfg: MappingConfig, ba_pts: int = 4096,
-                 iters_total: int = 15):
+                 iters_total: int = 15, mesh=None):
         self.cfg = cfg
         self.ba_pts = ba_pts
         self.iters_total = iters_total
         self.active = False
         self._prob = None
+        # optional jax.sharding.Mesh: each micro-step runs the
+        # landmark-sharded SPMD iteration (parallel/dist_ba.py) instead of
+        # the single-device GN step — the background GBA is the scale-out
+        # compute of the system (RunGlobalBundleAdjustment's role,
+        # /root/reference/src/LoopClosing.cc:2360).
+        self.mesh = mesh
+        self._dist_iter = None
 
     def start(self, ms: M.MapState):
         kf_idx = jnp.arange(ms.k_max, dtype=jnp.int32)
@@ -236,7 +243,15 @@ class AsyncGBA:
         """One GN iteration; returns True when the budget is done."""
         if not self.active:
             return False
-        self._prob = _gba_iter(self._prob, self._active_mask, self.cfg)
+        if self.mesh is not None:
+            if self._dist_iter is None:
+                from geoflowslam_tpu.parallel import dist_ba
+                self._dist_iter = dist_ba.make_distributed_ba(
+                    self.mesh, self.cfg.fx, self.cfg.fy, self.cfg.cx,
+                    self.cfg.cy, self.cfg.bf, iters=1)
+            self._prob = self._dist_iter(self._prob)
+        else:
+            self._prob = _gba_iter(self._prob, self._active_mask, self.cfg)
         self.i += 1
         return self.i >= self.iters_total
 

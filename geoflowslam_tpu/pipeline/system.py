@@ -37,11 +37,30 @@ from geoflowslam_tpu.solvers import inertial as VI
 from geoflowslam_tpu.solvers import pose_opt as PO
 
 
+# placeholder depth passed alongside a packed (1-D) m12 feed buffer —
+# build_frame derives real depth from the buffer; this only keeps the
+# jitted signature binary (gray, depth)
+_M12_DUMMY = np.zeros((1, 1), np.float32)
+
+
 class TrackingState(enum.Enum):
     NOT_INITIALIZED = 0   # eTrackingState NO_IMAGES_YET/NOT_INITIALIZED
     OK = 1
     RECENTLY_LOST = 2
     LOST = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoFisheyeConfig:
+    """Dual-KB8 stereo rig (the reference's 4-camera-parameter stereo ctor,
+    /root/reference/include/Frame.h:441, src/Frame.cc:1370): the LEFT camera
+    intrinsics live in FrameConfig (camera_model="kb8", dist_params=k0..k3);
+    this holds the right camera + rig extrinsics + lapping areas."""
+    params_r: tuple = ()        # (fx, fy, cx, cy, k0, k1, k2, k3) right cam
+    r_lr: tuple = ()            # 3x3 row-major right-cam -> left-cam rotation
+    t_lr: tuple = ()            # right-cam -> left-cam translation (mtlr)
+    lapping_l: tuple = (0.0, 1e9)   # (u_min, u_max) raw-pixel lapping area
+    lapping_r: tuple = (0.0, 1e9)   # (Camera*.lappingBegin/End YAML keys)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,8 +106,14 @@ class SystemConfig:
                                         # frame at ~zero read cost
     fused_lag: int = 6                  # deferred per-KF scalar countdown
                                         # (cull bookkeeping, loop scalars)
+    pkt_read_interval: float = 0.25     # min seconds between decision-ring
+                                        # reads: continuous reads collapse
+                                        # the tunnel stream; paced reads
+                                        # are free (decision lag <=
+                                        # interval + one read)
     record_reproj_err: bool = False     # per-frame reprojection-error dumps
                                         # (SaveFrame2FrameReprojErr parity)
+    stereo_fisheye: Optional[StereoFisheyeConfig] = None  # dual-KB8 rig
 
     def track_cfg(self) -> T.TrackConfig:
         return T.TrackConfig(
@@ -199,13 +224,16 @@ class SlamSystem:
         self._pkt_in: _queue.Queue = _queue.Queue()
         self._pkt_out: _queue.Queue = _queue.Queue()
         self._pkt_busy = False         # a window read is in flight
+        self._pkt_last_read_t = 0.0    # monotonic stamp of the last kick
         self._recovering = False       # staged reprocess of pipelined frames
         self._pkt_thread = None        # started lazily on first fused frame
         self._deferred: list = []      # lag-matured per-KF mapping scalars
         self._last_pose_wc = np.eye(4)
         # interleaved background global BA (LoopClosing's detached GBA
         # thread re-expressed as per-frame micro-steps, local_mapping.AsyncGBA)
-        self._gba = LM.AsyncGBA(self.mcfg) if cfg.loop is not None else None
+        self._gba = (LM.AsyncGBA(self.mcfg, mesh=mesh)
+                     if cfg.loop is not None else None)
+        self._sf_match = None          # lazy jitted stereo-fisheye matcher
         self._local_window_fn = jax.jit(
             lambda ms, ref: M.local_window(ms, ref, self.tcfg.local_window,
                                            self.tcfg.lm_max_candidates))
@@ -213,17 +241,32 @@ class SlamSystem:
     # -- public API (System::TrackRGBD analogue) ---------------------------
 
     def track_rgbd(self, gray, depth, timestamp: float):
+        gray, depth = self._encode_feed(gray, depth)
         if self._can_fuse():
             return self._track_fused(gray, depth, None, None, None, timestamp)
         with self.timers.time("ORB_extract"):
-            frame = self._build_frame(jnp.asarray(gray, jnp.float32),
-                                      jnp.asarray(depth, jnp.float32))
+            frame = self._build_frame(jnp.asarray(gray), jnp.asarray(depth))
             jax.block_until_ready(frame.feat.uv)
         return self._track(frame, timestamp)
 
+    def _encode_feed(self, gray, depth):
+        """Apply the configured host->device wire codec (FrameConfig
+        .feed_codec). "m12" packs gray u8 + 12-bit depth into ONE buffer
+        (io/feed_codec) — 3x less wire traffic per frame; already-packed
+        1-D buffers (e.g. device-staged) pass through."""
+        if self.cfg.frame.feed_codec != "m12":
+            return gray, depth
+        g = np.asarray(gray) if not hasattr(gray, "ndim") else gray
+        if g.ndim == 1:                      # already packed
+            return gray, _M12_DUMMY
+        from geoflowslam_tpu.io.feed_codec import pack_m12
+        buf = pack_m12(np.asarray(gray), np.asarray(depth),
+                       self.cfg.frame.depth_map_factor)
+        return buf, _M12_DUMMY
+
     def track_monocular(self, gray, timestamp: float):
         """System::TrackMonocular analogue."""
-        frame = self._build_frame_mono(jnp.asarray(gray, jnp.float32))
+        frame = self._build_frame_mono(jnp.asarray(gray))
         return self._track(frame, timestamp)
 
     def track_stereo(self, gray_l, gray_r, timestamp: float):
@@ -247,15 +290,92 @@ class SlamSystem:
         self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts, timestamp)
         return self.track_stereo(gray_l, gray_r, timestamp)
 
+    def track_stereo_fisheye(self, gray_l, gray_r, timestamp: float):
+        """Stereo-fisheye mode: dual-KB8 rig with lapping-area matching
+        (Frame::ComputeStereoFishEyeMatches, /root/reference/src/Frame.cc:
+        1503; the 4-camera stereo Frame ctor, src/Frame.cc:1370).
+
+        The left frame is built through the standard KB8 path (keypoints
+        undistorted to the pinhole-equivalent grid at frame build); depth
+        comes from descriptor matching + ray triangulation against the
+        right KB8 camera (ops/stereo.fisheye_stereo_match), then the frame
+        continues down the unified RGB-D/stereo track path with the same
+        u_right = u - bf/z convention."""
+        sf = self.cfg.stereo_fisheye
+        assert sf is not None and self.cfg.frame.camera_model == "kb8"
+        from geoflowslam_tpu.math import cameras as CAM
+        from geoflowslam_tpu.ops.extractor import extract
+        from geoflowslam_tpu.ops.stereo import fisheye_stereo_match
+
+        fc = self.cfg.frame
+        frame = self._build_frame_mono(jnp.asarray(gray_l, jnp.float32))
+        if self._sf_match is None:
+            params_l = jnp.asarray([self.cfg.fx, self.cfg.fy, self.cfg.cx,
+                                    self.cfg.cy, *fc.dist_params], jnp.float32)
+            params_r = jnp.asarray(sf.params_r, jnp.float32)
+            pin_l = params_l[:4]
+            r_lr = jnp.asarray(sf.r_lr, jnp.float32).reshape(3, 3)
+            t_lr = jnp.asarray(sf.t_lr, jnp.float32)
+            sig2 = jnp.asarray(
+                [s * s for s in fc.orb.scale_factors()], jnp.float32)
+            n_base = fc.orb.n_features
+
+            @jax.jit
+            def sf_match(gray_r, uv_l, desc_l, valid_l, lvl_l):
+                # same preprocessing as the left frame build (CLAHE before
+                # extraction) — descriptors must come from identically
+                # processed images or L/R Hamming distances are biased
+                from geoflowslam_tpu.ops import pyramid as pyr_ops
+                img_r = pyr_ops.clahe(gray_r) if fc.use_clahe else gray_r
+                featr = extract(img_r, fc.orb)
+                # left rays from the UNDISTORTED uv (pinhole-equivalent by
+                # construction at frame build); raw u for the lapping gate
+                # comes from re-projecting the ray through the KB8 model
+                rays_l = CAM.pinhole_unproject(pin_l, uv_l)
+                uraw_l = CAM.kb8_project(params_l, rays_l)[:, 0]
+                rays_r = CAM.kb8_unproject(params_r, featr.uv)
+                mask_l = valid_l & (uraw_l >= sf.lapping_l[0]) \
+                    & (uraw_l <= sf.lapping_l[1])
+                mask_r = featr.valid & (featr.uv[:, 0] >= sf.lapping_r[0]) \
+                    & (featr.uv[:, 0] <= sf.lapping_r[1])
+                depth, _, midx = fisheye_stereo_match(
+                    rays_l, desc_l, mask_l, sig2[lvl_l],
+                    rays_r, featr.desc, mask_r, sig2[featr.level],
+                    r_lr, t_lr, f_err=float(self.cfg.fx))
+                ur = jnp.where(depth > 0,
+                               uv_l[:, 0] - self.cfg.bf
+                               / jnp.maximum(depth, 1e-6), -1.0)
+                return depth, ur
+
+            self._sf_match = sf_match
+
+        n = self.cfg.frame.orb.n_features
+        depth, ur = self._sf_match(
+            jnp.asarray(gray_r, jnp.float32), frame.feat.uv[:n],
+            frame.feat.desc[:n], frame.feat.valid[:n], frame.feat.level[:n])
+        pad = frame.depth_kp.shape[0] - n
+        if pad > 0:
+            depth = jnp.concatenate([depth, jnp.full((pad,), -1.0)])
+            ur = jnp.concatenate([ur, jnp.full((pad,), -1.0)])
+        frame = frame._replace(depth_kp=depth, u_right=ur)
+        return self._track(frame, timestamp)
+
+    def track_stereo_fisheye_inertial(self, gray_l, gray_r, acc, gyro, dts,
+                                      timestamp: float):
+        """Stereo-fisheye + IMU (the TUM-VI stereo-inertial regime)."""
+        assert self.imu is not None
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts, timestamp)
+        return self.track_stereo_fisheye(gray_l, gray_r, timestamp)
+
     def track_rgbd_inertial(self, gray, depth, acc, gyro, dts, timestamp: float):
         """System::TrackRGBD with IMU measurements (GrabImuData +
         PreintegrateIMU + PredictStateIMU + VI pose optimization)."""
         assert self.imu is not None
+        gray, depth = self._encode_feed(gray, depth)
         if self._can_fuse():
             return self._track_fused(gray, depth, acc, gyro, dts, timestamp)
         self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts, timestamp)
-        frame = self._build_frame(jnp.asarray(gray, jnp.float32),
-                                  jnp.asarray(depth, jnp.float32))
+        frame = self._build_frame(jnp.asarray(gray), jnp.asarray(depth))
         return self._track(frame, timestamp)
 
     # -- internals ---------------------------------------------------------
@@ -316,7 +436,7 @@ class SlamSystem:
 
         with self.timers.time("Track_total"):
             out = FU.frame_step(
-                jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+                jnp.asarray(gray), jnp.asarray(depth),
                 self.ms, self.last_obs_mp, last_levels,
                 self.vel[0], self.vel[1], np.bool_(self.has_vel),
                 self.cur_rot, self.cur_t, np.int32(self.ref_kf),
@@ -393,8 +513,21 @@ class SlamSystem:
             self._pkt_thread = _threading.Thread(
                 target=_pkt_reader, daemon=True, name="gfs-pkt-reader")
             self._pkt_thread.start()
-        if not self._pkt_busy:
+        # Pace the reads: a CONTINUOUSLY re-reading thread collapses the
+        # tunnel stream ~100x (measured: back-to-back reads serialize with
+        # dispatch RPCs and starve the device), while an interval-paced
+        # reader is free. One read covers up to PKT_WINDOW frames, so a
+        # 0.25 s cadence keeps decision lag < 0.3 s without touching the
+        # dispatch loop; the high-water check bypasses the pacing before
+        # the ring can wrap.
+        import time as _time
+        from geoflowslam_tpu.pipeline import fused as FU
+        now = _time.monotonic()
+        due = (now - self._pkt_last_read_t >= self.cfg.pkt_read_interval
+               or len(self._pending_by_seq) > FU.PKT_WINDOW // 2)
+        if not self._pkt_busy and due:
             self._pkt_busy = True
+            self._pkt_last_read_t = now
             self._pkt_in.put(self._pkt_window)
 
     def _drain_pkt_out(self):
@@ -923,6 +1056,13 @@ class SlamSystem:
                 self.ms.kf_desc[kf],
                 self.ms.kf_kp_valid[kf] & (self.ms.kf_obs_mp[kf] >= 0),
                 max_dist=MATCH.TH_LOW, ratio=0.85, mutual=True)
+            # GMS grid-motion-statistics filter on the candidate matches
+            # (SearchWithGMS in relocalization, src/ORBmatcher.cc:744 via
+            # src/Tracking.cc:4537+): wide-baseline reloc matching is
+            # outlier-heavy and the grid vote prunes before PnP RANSAC.
+            from geoflowslam_tpu.ops.gms import gms_filter
+            size = (self.cfg.frame.orb.width, self.cfg.frame.orb.height)
+            m_idx = gms_filter(feat.uv, self.ms.kf_uv[kf], m_idx, size, size)
             mp = self.ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
             valid = (m_idx >= 0) & (mp >= 0) & self.ms.mp_valid[jnp.maximum(mp, 0)]
             if int(jnp.sum(valid)) < 15:

@@ -49,6 +49,11 @@ class FrameConfig:
     # voxel filter (LaserProcessing in the RGB-D Frame ctor, Frame.cc:374-394)
     # — enabled by the system when UsePointCloudObs is on
     lidar_features: bool = False
+    # host->device frame wire format: "raw" uploads gray/depth as given;
+    # "m12" packs gray u8 + 12-bit depth into one buffer on the host
+    # (io/feed_codec) and unpacks on device — 0.75 MB/frame vs 2.4 MB,
+    # for bandwidth-constrained accelerator links
+    feed_codec: str = "raw"
 
 
 class FrameData(NamedTuple):
@@ -66,7 +71,28 @@ class FrameData(NamedTuple):
 
 def build_frame(gray: jnp.ndarray, depth: Optional[jnp.ndarray],
                 cfg: FrameConfig, fx, fy, cx, cy) -> FrameData:
-    """gray: [H,W] float32 0..255; depth: [H,W] metric depth or None."""
+    """gray: [H,W] 0..255; depth: [H,W] depth (x depth_map_factor) or None.
+
+    Accepts sensor-native dtypes (uint8 gray, uint16 depth — the reference's
+    cv 8UC1/16UC1 inputs, Frame.cc:304 + DepthMapFactor) and casts ON DEVICE:
+    the host uploads raw sensor bytes, 4x less host->device traffic than
+    pre-converted float32 — on a bandwidth-constrained accelerator link the
+    image feed is the frame budget's biggest line item."""
+    if gray.ndim == 1:
+        # packed single-buffer wire feed (io/feed_codec.pack_m12): unpack
+        # on device so XLA fuses it into the first image op. Depth emerges
+        # in INPUT units (q * 4 mm / depth_map_factor) so the metric
+        # scaling below stays uniform across feed modes.
+        h, w = cfg.orb.height, cfg.orb.width
+        p = gray[h * w:].reshape(h, w // 2, 3).astype(jnp.uint32)
+        a = p[..., 0] | ((p[..., 1] & 0xF) << 8)
+        b = (p[..., 1] >> 4) | (p[..., 2] << 4)
+        q = jnp.stack([a, b], -1).reshape(h, w).astype(jnp.float32)
+        depth = q * (0.004 / cfg.depth_map_factor)
+        gray = gray[:h * w].reshape(h, w)
+    gray = gray.astype(jnp.float32)
+    if depth is not None and depth.dtype != jnp.float32:
+        depth = depth.astype(jnp.float32)
     img = pyr_ops.clahe(gray) if cfg.use_clahe else gray
     feat = extract(img, cfg.orb)
     n = feat.capacity

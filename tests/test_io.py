@@ -1,5 +1,6 @@
 import os
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from geoflowslam_tpu.io import datasets, trajectory, yaml_compat
@@ -191,3 +192,45 @@ def test_viewer_smoke(tmp_path):
     p2 = v.draw_frame(img, jnp.ones((32, 2)) * 40, jnp.ones(32, bool),
                       jnp.arange(32) - 16)
     assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+class TestFeedCodec:
+    """io/feed_codec m12 wire format: pack/unpack round trip and full
+    equivalence of the packed feed path through build_frame."""
+
+    def test_roundtrip(self):
+        from geoflowslam_tpu.io import feed_codec as FC
+        rng = np.random.default_rng(0)
+        h, w = 32, 64
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        depth_m = rng.uniform(0, 8.0, (h, w)).astype(np.float32)
+        depth_m[::7] = 0.0                       # invalid rows
+        buf = FC.pack_m12(gray, depth_m, 1.0)    # depth in metres
+        assert buf.shape == (FC.packed_size(h, w),) and buf.dtype == np.uint8
+        g2, q = FC.unpack_m12_np(buf, h, w)
+        np.testing.assert_array_equal(g2, gray)
+        d2 = q.astype(np.float32) * FC.M12_STEP_M
+        assert np.abs(d2 - np.clip(depth_m, 0, 4095 * FC.M12_STEP_M)).max() \
+            <= FC.M12_STEP_M + 1e-6
+        assert (d2[::7] == 0).all()
+
+    def test_build_frame_packed_matches_raw(self):
+        from geoflowslam_tpu.io import feed_codec as FC
+        from geoflowslam_tpu.state.frame import FrameConfig, build_frame
+        from geoflowslam_tpu.ops.extractor import OrbConfig
+        rng = np.random.default_rng(1)
+        h, w = 64, 96
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        # depth on the 4 mm grid so packed == raw exactly
+        depth_mm = (rng.integers(0, 4000, (h, w)) * 4).astype(np.uint16)
+        orb = OrbConfig(n_features=64, n_levels=2, height=h, width=w)
+        fc = FrameConfig(orb=orb, lk_levels=2, cloud_stride=8,
+                         cloud_max_pts=128, depth_map_factor=1e-3)
+        args = (fc, 80.0, 80.0, w / 2, h / 2)
+        f_raw = build_frame(jnp.asarray(gray), jnp.asarray(depth_mm), *args)
+        buf = FC.pack_m12(gray, depth_mm, 1e-3)
+        f_pk = build_frame(jnp.asarray(buf), jnp.zeros((1, 1)), *args)
+        np.testing.assert_allclose(np.asarray(f_pk.feat.uv),
+                                   np.asarray(f_raw.feat.uv))
+        np.testing.assert_allclose(np.asarray(f_pk.depth_kp),
+                                   np.asarray(f_raw.depth_kp), atol=1e-5)
