@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--out", default="results_hard")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closing with the bundled vocabulary")
+    ap.add_argument("--viewer", action="store_true",
+                    help="render an incremental map/frame view per KF "
+                         "(out/viewer/view_*.png + run.gif)")
+    ap.add_argument("--pkt-interval", type=float, default=None,
+                    help="override SystemConfig.pkt_read_interval (decision "
+                         "ring read pacing)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +61,15 @@ def main():
                  width=w, height=h)
     orb = OrbConfig(n_features=args.features, n_levels=8 if w >= 640 else 4,
                     height=h, width=w)
-    fc = FrameConfig(orb=orb, bf=cam.fx * 0.1)
+    # m12 packed host feed for RGB-D modes (the bench's production wire
+    # format): frames are pre-rendered/packed on the host side, so the
+    # tracking loop matches the measured 65 FPS operating point instead of
+    # queueing a render program per frame. Frame/capacity parameters match
+    # bench.py exactly so the runs share its compile cache (fresh XLA
+    # compiles of the fused step at new shapes cost minutes on this host).
+    fc = FrameConfig(orb=orb, bf=cam.fx * 0.1, lk_levels=4, cloud_stride=4,
+                     cloud_max_pts=4096, depth_map_factor=1.0,
+                     feed_codec="raw" if args.mode == "mono" else "m12")
     imu = ImuConfig() if args.mode == "rgbd_inertial" else None
     vocab = None
     loop_cfg = None
@@ -63,37 +77,117 @@ def main():
         from geoflowslam_tpu.retrieval.vocab import default_vocabulary
         vocab = default_vocabulary()
         loop_cfg = LoopConfig()
+    extra = {}
+    if args.pkt_interval is not None:
+        extra["pkt_read_interval"] = args.pkt_interval
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                        bf=cam.fx * 0.1, frame=fc, imu=imu, loop=loop_cfg,
-                       sensor="mono" if args.mode == "mono" else "rgbd")
+                       sensor="mono" if args.mode == "mono" else "rgbd",
+                       # bench capacities (2000 frames at the 0.5 s KF
+                       # cadence plus culling stay well under 128 KFs)
+                       k_max=128, m_max=32768,
+                       **extra)
     world = SyntheticWorld(cam)
     seq = HardSyntheticSequence(world, fps=args.fps)
     slam = SlamSystem(cfg, vocab=vocab)
 
-    gt, last_t = [], None
+    viewer = None
+    if args.viewer:
+        from geoflowslam_tpu.viewer.viewer import LiveViewer
+        viewer = LiveViewer(os.path.join(args.out, "viewer"))
+
+    # ---- precompute GT poses + IMU for the whole sequence (2 device
+    # calls + 2 reads total — per-frame eager pose/IMU ops each cost a
+    # tunnel round trip and would dominate the run) -----------------------
+    from geoflowslam_tpu.io.synthetic import (hard_trajectory,
+                                              contrast_schedule, GRAVITY)
+    ts_all = np.arange(args.frames) / args.fps
+    rot_wc_a, p_a, *_ = [np.asarray(x) for x in jax.jit(hard_trajectory)(
+        jnp.asarray(ts_all), seq.period)]
+    rot_cw_a = np.swapaxes(rot_wc_a, -1, -2)
+    t_cw_a = -np.einsum("nij,nj->ni", rot_cw_a, p_a)
+    if args.mode == "rgbd_inertial":
+        s_max = 32
+        dt_imu = 1.0 / seq.imu_rate
+        # [N, S] sample times in (t_{i-1}, t_i]
+        tgrid = (ts_all[:, None] - 1.0 / args.fps
+                 + (np.arange(s_max)[None, :] + 0.5) * dt_imu)
+        rot_wb, _, _, a_w, w_b = [np.asarray(x) for x in jax.jit(
+            hard_trajectory)(jnp.asarray(tgrid), seq.period)]
+        acc_a = np.einsum("nsij,nsj->nsi", np.swapaxes(rot_wb, -1, -2),
+                          a_w - GRAVITY).astype(np.float32)
+        gyro_a = w_b.astype(np.float32)
+        n_per = int(round((1.0 / args.fps) * seq.imu_rate))
+        # identical per frame: first n_per samples live, the rest padding
+        dts_1 = np.where(np.arange(s_max) < n_per, dt_imu,
+                         0.0).astype(np.float32)
+
+    @jax.jit
+    def render_packed(rot, t, c):
+        """Render + contrast + m12-pack on device; ONE small read per frame
+        during pre-render (0.75 MB at 640x480)."""
+        g, d = world.render(rot, t)
+        g = 110.0 + (g - 110.0) * c
+        gq = jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)
+        q = jnp.clip(jnp.round(d / 0.004), 0, 4095).astype(jnp.uint32)
+        a, b = q[:, 0::2], q[:, 1::2]
+        p = jnp.stack([a & 0xFF, (a >> 8) | ((b & 0xF) << 4), b >> 4],
+                      -1).astype(jnp.uint8)
+        return jnp.concatenate([gq.reshape(-1), p.reshape(-1)])
+
+    @jax.jit
+    def render_gray(rot, t, c):
+        g, _ = world.render(rot, t)
+        return (110.0 + (g - 110.0) * c).astype(jnp.float32)
+
+    # ---- pre-render the sequence to HOST memory (bench operating mode:
+    # the timed loop feeds packed host buffers, no render in the queue) ----
+    t0r = time.time()
+    frames_h = []
+    for i in range(args.frames):
+        c = np.float32(contrast_schedule(ts_all[i], seq.period))
+        if args.mode == "mono":
+            frames_h.append(np.asarray(render_gray(rot_cw_a[i], t_cw_a[i], c)))
+        else:
+            frames_h.append(np.asarray(render_packed(rot_cw_a[i], t_cw_a[i], c)))
+    print(f"pre-render {args.frames} frames: {time.time()-t0r:.1f}s",
+          file=sys.stderr)
+
+    gt = []
     kf_costs = []
+    ref_before = -1
     t_start = time.time()
     for i in range(args.frames):
-        ts = i / args.fps                 # sim time for rendering
+        ts = ts_all[i]
         t_abs = args.t0 + ts              # epoch stamp fed to the system
-        gray, depth, (rot_cw, t_cw) = seq.frame(ts)
-        n_kf_before = slam.map_stats()["n_kfs"]
+        buf = frames_h[i]
         tk0 = time.time()
         if args.mode == "mono":
-            slam.track_monocular(gray, t_abs)
-        elif args.mode == "rgbd_inertial" and last_t is not None:
-            acc, gyro, dts = seq.imu_between(last_t, ts, 32)
-            slam.track_rgbd_inertial(gray, depth, acc, gyro, dts, t_abs)
+            slam.track_monocular(buf, t_abs)
+        elif args.mode == "rgbd_inertial" and i > 0:
+            slam.track_rgbd_inertial(buf, None, acc_a[i], gyro_a[i],
+                                     dts_1, t_abs)
         else:
-            slam.track_rgbd(gray, depth, t_abs)
+            slam.track_rgbd(buf, None, t_abs)
         tk = time.time() - tk0
-        if slam.map_stats()["n_kfs"] != n_kf_before:
-            kf_costs.append((i, tk))
-        last_t = ts
+        # KF insertion signal: the host-side reference-KF slot changes on
+        # insert (no device read)
+        if slam.ref_kf != ref_before:
+            ref_before = slam.ref_kf
+            if i > 0:
+                kf_costs.append((i, tk))
+            if viewer is not None:
+                lf = getattr(slam, "last_frame", None)
+                g_img = buf if args.mode == "mono" \
+                    else buf[:h * w].reshape(h, w)
+                viewer.update(
+                    slam.ms, slam.cur_rot, slam.cur_t, gray=g_img,
+                    feat_uv=lf.feat.uv if lf is not None else None,
+                    feat_valid=lf.feat.valid if lf is not None else None,
+                    obs_mp=slam.last_obs_mp, title=f"t={ts:.1f}s")
         twc = np.eye(4)
-        rwc = np.asarray(rot_cw).T
-        twc[:3, :3] = rwc
-        twc[:3, 3] = -rwc @ np.asarray(t_cw)
+        twc[:3, :3] = rot_wc_a[i]
+        twc[:3, 3] = p_a[i]
         gt.append((t_abs, twc))
         if i % 200 == 0:
             st = slam.map_stats()
@@ -119,6 +213,9 @@ def main():
     print(f"per-KF cost: early {early*1000:.1f} ms, late {late*1000:.1f} ms "
           f"(flat = no O(K) growth)")
     os.makedirs(args.out, exist_ok=True)
+    if viewer is not None:
+        gif = viewer.finish()
+        print(f"viewer: {viewer.n} frames" + (f" -> {gif}" if gif else ""))
     slam.shutdown(args.out)
     import json
     with open(os.path.join(args.out, "hardmode.json"), "w") as f:

@@ -139,9 +139,18 @@ class SyntheticWorld:
         return g, depth
 
 
-def smooth_trajectory(t: jnp.ndarray, scale: float = 1.0):
+def smooth_trajectory(t: jnp.ndarray, scale: float = 1.0,
+                      freq: float = 1.0):
     """Analytic Twc trajectory inside the room: returns (R_wc, p_w, v_w, a_w,
-    w_body) at times t [...]. Camera looks roughly +z with gentle yaw/pitch."""
+    w_body) at times t [...]. Camera looks roughly +z with gentle yaw/pitch.
+
+    `freq` warps time (same path, traversed freq x faster): velocities
+    scale by freq, accelerations by freq^2 — the knob for IMU-excitation
+    studies (mono-inertial scale observability needs accelerations well
+    above the rotation-noise floor of the gravity terms)."""
+    if freq != 1.0:
+        rot, p, v, a, w = smooth_trajectory(t * freq, scale)
+        return rot, p, v * freq, a * freq ** 2, w * freq
     # position: slow Lissajous
     p = jnp.stack([
         0.8 * scale * jnp.sin(0.5 * t),
@@ -272,16 +281,19 @@ class SyntheticSequence:
     """
 
     def __init__(self, world: SyntheticWorld, fps: float = 30.0,
-                 imu_rate: float = 200.0, scale: float = 1.0):
+                 imu_rate: float = 200.0, scale: float = 1.0,
+                 freq: float = 1.0):
         self.world = world
         self.fps = fps
         self.imu_rate = imu_rate
         self.scale = scale
+        self.freq = freq
         self._render = jax.jit(world.render)
 
     def pose_cw(self, t: float):
         """Ground-truth Tcw at time t."""
-        rot_wc, p, *_ = smooth_trajectory(jnp.asarray(t), self.scale)
+        rot_wc, p, *_ = smooth_trajectory(jnp.asarray(t), self.scale,
+                                          self.freq)
         rot_cw = rot_wc.T
         return rot_cw, -rot_cw @ p
 
@@ -295,7 +307,8 @@ class SyntheticSequence:
         dt = 1.0 / self.imu_rate
         n = max(int(round((t1 - t0) * self.imu_rate)), 0)
         ts = t0 + (jnp.arange(max_samples) + 0.5) * dt
-        rot_wb, _, _, a_w, w_body = smooth_trajectory(ts, self.scale)
+        rot_wb, _, _, a_w, w_body = smooth_trajectory(ts, self.scale,
+                                                      self.freq)
         acc_b = jnp.einsum("sij,sj->si", jnp.swapaxes(rot_wb, -1, -2),
                            a_w - GRAVITY)
         dts = jnp.where(jnp.arange(max_samples) < n, dt, 0.0)

@@ -117,6 +117,9 @@ class InertialTracker:
         self.bias_host: Optional[np.ndarray] = None
         self.body: Optional[VI.BodyState] = None       # state at last frame
         self.initialized = False
+        # (r_wg, s) of the last applied map rescale — consumed by the
+        # system to transform the recorded trajectory consistently
+        self.last_transform = None
         # per-KF-slot preintegration since the previous KF
         self.kf_preints: Dict[int, pre.Preintegrated] = {}
         self.kf_order: List[int] = []                  # insertion order
@@ -397,6 +400,7 @@ class InertialTracker:
         if abs(s_f - 1.0) <= 0.002:
             return ms
         r_wg = NI.gravity_alignment_rotation_np(grav)
+        self.last_transform = (r_wg, float(s_f))
         return _apply_scale_rot(ms, r_wg, np.float32(s_f))
 
     def try_initialize(self, ms: M.MapState, scale_free: bool = False):
@@ -422,6 +426,27 @@ class InertialTracker:
         t_span = float(times[-1] - times[1])
         if t_span < self.cfg.init_min_time:
             return ms, False
+        return self._solve_and_apply(ms, chain, r_wb, p_wb, scale_free)
+
+    def reinitialize(self, ms: M.MapState, scale_free: bool = False):
+        """VIBA1/VIBA2 re-initialization: the reference's staged refinement
+        RE-RUNS InitializeIMU at mTinit>5 s and >10 s (priorG 1/0, priorA
+        1e5/0, /root/reference/src/LocalMapping.cc:327-368) — gravity
+        direction, metric scale, biases and velocities are re-solved over
+        the grown KF chain with poses fixed, and the map is re-scaled. This
+        is what pulls a 20-30% first-init scale error to <5%: the first
+        init sees ~2 s of excitation, the re-runs see the whole window."""
+        if not self.initialized:
+            return ms, False
+        chain = self._chain_suffix()
+        if len(chain) < 4:
+            return ms, False
+        r_wb, p_wb, _, times = self._gather_states_np(ms, chain)
+        return self._solve_and_apply(ms, chain, r_wb, p_wb, scale_free)
+
+    def _solve_and_apply(self, ms, chain, r_wb, p_wb, scale_free):
+        from geoflowslam_tpu.imu import init_np as NI
+        slots = chain[1:]
 
         pr = [self.kf_preints[s] for s in slots]
 
@@ -429,7 +454,12 @@ class InertialTracker:
         bg = NI.solve_gyro_bias_np(
             r_wb, np.stack([np.asarray(p.dR) for p in pr]),
             np.stack([np.asarray(p.JRg) for p in pr]))
-        new_bias = np.concatenate([bg, np.zeros(3, np.float32)])
+        # keep the current accelerometer bias (zero at first init; the
+        # VI-BA-learned value on VIBA1/VIBA2 re-runs) unless method 2
+        # re-solves it below
+        ba_prev = np.asarray(self.bias_host if self.bias_host is not None
+                             else self.bias, np.float32)[3:]
+        new_bias = np.concatenate([bg.astype(np.float32), ba_prev])
         pr = [self._preintegrate_on_cpu(
                   np.asarray(p.meas_acc), np.asarray(p.meas_gyro),
                   np.asarray(p.meas_dt), new_bias, self.calib) for p in pr]
@@ -485,6 +515,7 @@ class InertialTracker:
                              jnp.asarray(idx), jnp.asarray(valid),
                              jnp.asarray(vels_p),
                              jnp.asarray(new_bias, jnp.float32))
+        self.last_transform = (r_wg, float(scale))
         self.bias = np.asarray(new_bias, np.float32)
         self.bias_host = np.asarray(new_bias, np.float32)
         self.initialized = True

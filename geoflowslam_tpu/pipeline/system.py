@@ -173,6 +173,14 @@ class SlamSystem:
         self._traj: list = []
         self._kf_gen: dict = {}      # slot -> generation id
         self._gen_counter = 0
+        # culled-KF parent chain for trajectory rebasing: (slot, gen) ->
+        # (parent_slot, parent_gen, T_this_parent 3x4) recorded at cull
+        # time — SaveTrajectoryTUM's `while(pKF->isBad()) Trw *= pKF->mTcp`
+        # walk (/root/reference/src/System.cc:994+), so frames whose
+        # reference KF was culled still inherit later corrections through
+        # the surviving ancestor instead of freezing at their as-tracked
+        # pose (which for mono-inertial still carries pre-init scale).
+        self._culled_rel: dict = {}
         # per-frame reprojection stats (mFrame2FrameReprojErr /
         # mFrame2MapReprojErr analogues, include/Tracking.h:430)
         self.f2f_reproj: List[Tuple[float, float, int]] = []
@@ -1273,7 +1281,21 @@ class SlamSystem:
         return n_inliers < self.cfg.kf_tracked_ratio * ref
 
     def _on_kf_culled(self, culled_i: int):
-        """Bookkeeping after a KF cull: retrieval DB + IMU segment merge."""
+        """Bookkeeping after a KF cull: retrieval DB + IMU segment merge +
+        the trajectory parent-chain snapshot (mTcp, System.cc:994+)."""
+        gen = self._kf_gen.get(culled_i)
+        if gen is not None:
+            prev = int(self.ms.kf_prev[culled_i])
+            if 0 <= prev < self.cfg.k_max and bool(self.ms.kf_valid[prev]):
+                rc = np.asarray(self.ms.kf_rot[culled_i], np.float64)
+                tc = np.asarray(self.ms.kf_t[culled_i], np.float64)
+                rp = np.asarray(self.ms.kf_rot[prev], np.float64)
+                tp = np.asarray(self.ms.kf_t[prev], np.float64)
+                r_cp = rc @ rp.T
+                t_cp = tc - r_cp @ tp
+                self._culled_rel[(culled_i, gen)] = (
+                    prev, self._kf_gen.get(prev),
+                    np.concatenate([r_cp, t_cp[:, None]], axis=1))
         if self.loop_closer is not None:
             from geoflowslam_tpu.retrieval import kf_database as DBD
             self.loop_closer.db = DBD.erase_keyframe(
@@ -1387,7 +1409,8 @@ class SlamSystem:
             if it is not None and not imu.viba1_done and timestamp - it > 5.0:
                 kw_target = 16
                 imu.viba1_done = True
-            elif it is not None and not imu.viba2_done                     and timestamp - it > 10.0:
+            elif it is not None and not imu.viba2_done \
+                    and timestamp - it > 10.0:
                 kw_target = 16
                 imu.viba2_done = True
             slots = imu.contiguous_window(kw_target)
@@ -1485,6 +1508,7 @@ class SlamSystem:
                     self.ms, scale_free=(self.cfg.sensor == "mono"))
                 if did:
                     self.imu.init_time = timestamp
+                    self._consume_imu_transform()
                     # FullInertialBA right after init (InitializeIMU ->
                     # FullInertialBA, LocalMapping.cc:1552): jointly refine
                     # poses/velocities/biases/points over the init window
@@ -1519,6 +1543,7 @@ class SlamSystem:
                     > 10.0):
                 self._last_scale_ref = timestamp
                 self.ms = self.imu.scale_refinement(self.ms)
+                self._consume_imu_transform()
                 self.cur_rot = self.ms.kf_rot[kf_slot]
                 self.cur_t = self.ms.kf_t[kf_slot]
                 self.has_vel = False
@@ -1537,14 +1562,36 @@ class SlamSystem:
                 # LocalMapping.cc:327-368); otherwise LocalInertialBA window
                 kw_target = 8
                 it = self.imu.init_time
+                reinit = False
                 if it is not None and not self.imu.viba1_done \
                         and timestamp - it > 5.0:
                     kw_target = 16
                     self.imu.viba1_done = True
+                    reinit = True
                 elif it is not None and not self.imu.viba2_done \
                         and timestamp - it > 10.0:
                     kw_target = 16
                     self.imu.viba2_done = True
+                    reinit = True
+                if reinit and self.cfg.sensor == "mono":
+                    # VIBA1/VIBA2 = InitializeIMU RE-RUNS (LocalMapping.cc:
+                    # 327-368): re-solve gravity/scale/bias/velocities over
+                    # the grown chain and re-scale the map, then the wide
+                    # VI-BA below refines jointly. The first init's scale
+                    # (from ~2 s of excitation) is 10-30% off for mono; the
+                    # re-runs pin it. Mono-only: for depth-pinned sensors
+                    # the linear re-solve would overwrite BA-refined
+                    # velocities with no scale benefit.
+                    self.ms, did = self.imu.reinitialize(
+                        self.ms, scale_free=True)
+                    if did:
+                        self._consume_imu_transform()
+                        self.cur_rot = self.ms.kf_rot[kf_slot]
+                        self.cur_t = self.ms.kf_t[kf_slot]
+                        self.imu.body = self.imu.body_from_cam(
+                            self.cur_rot, self.cur_t,
+                            v=self.ms.kf_vel[kf_slot])
+                        self.has_vel = False
                 slots = self.imu.contiguous_window(kw_target)
                 if len(slots) >= 3:
                     self._run_vi_ba(slots, kw_target)
@@ -1634,8 +1681,63 @@ class SlamSystem:
         out[:3, 3] = np.asarray(ti)
         return out
 
+    def _transform_trajectory(self, rot_gw, s):
+        """Apply a map similarity transform (ApplyScaledRotation convention:
+        world points p' = s R_gw p) to the recorded trajectory so the WHOLE
+        history — absolute snapshots, relative entries, culled-parent links —
+        stays consistent with the rescaled map. Without this, frames
+        recorded before a mono-inertial IMU init keep the arbitrary visual
+        scale forever (the pre-init segment of a saved trajectory would be
+        5-10x off after the init rescue)."""
+        rw = np.asarray(rot_gw, np.float64)
+        s = float(s)
+        for i, e in enumerate(self._traj):
+            twc = e[1]
+            m = np.asarray(twc, np.float64).copy()
+            m[:3, :3] = rw @ m[:3, :3]
+            m[:3, 3] = s * (rw @ m[:3, 3])
+            if len(e) == 2:
+                self._traj[i] = (e[0], m)
+            else:
+                trel2 = e[4].copy()
+                trel2[:, 3] = s * trel2[:, 3]
+                self._traj[i] = (e[0], m, e[2], e[3], trel2)
+        for k, (p, pg, tcp) in list(self._culled_rel.items()):
+            t2 = tcp.copy()
+            t2[:, 3] = s * t2[:, 3]
+            self._culled_rel[k] = (p, pg, t2)
+
+    def _consume_imu_transform(self):
+        """Fold the transform applied by the last IMU init / re-init /
+        scale refinement into the recorded trajectory."""
+        tr = getattr(self.imu, "last_transform", None)
+        if tr is not None:
+            self._transform_trajectory(*tr)
+            self.imu.last_transform = None
+
     def _record_pose(self, timestamp: float):
-        self._traj.append((timestamp, self.current_pose_wc()))
+        """Record the frame pose RELATIVE to its reference KF
+        (mlRelativeFramePoses, /root/reference/src/Tracking.cc end of
+        Track()): the exported trajectory rebases onto the KF's current
+        pose, so later corrections — loop/GBA, and crucially the IMU-init /
+        VIBA re-init map rescaling for mono-inertial — apply retroactively
+        to every recorded frame. Falls back to an absolute snapshot before
+        the first KF exists."""
+        twc = self.current_pose_wc()
+        ref = self.ref_kf
+        gen = self._kf_gen.get(ref)
+        if gen is None:
+            self._traj.append((timestamp, twc))
+            return
+        r_rw = np.asarray(self.ms.kf_rot[ref], np.float64)
+        t_rw = np.asarray(self.ms.kf_t[ref], np.float64)
+        r_wc = np.asarray(twc[:3, :3], np.float64)
+        r_cw = r_wc.T
+        t_cw = -r_cw @ np.asarray(twc[:3, 3], np.float64)
+        r_cr = r_cw @ r_rw.T
+        t_cr = t_cw - r_cr @ t_rw
+        trel = np.concatenate([r_cr, t_cr[:, None]], axis=1)
+        self._traj.append((timestamp, twc, ref, gen, trel))
 
     @property
     def trajectory(self):
@@ -1658,6 +1760,17 @@ class SlamSystem:
                 out.append(e)
                 continue
             ts, twc, ref, gen, trel = e
+            # walk the culled-parent chain (mTcp semantics): rebase the
+            # relative pose onto the nearest surviving ancestor
+            hops = 0
+            while (ref, gen) in self._culled_rel and hops < 64:
+                prev, pgen, tcp = self._culled_rel[(ref, gen)]
+                r_cr, t_cr = trel[:, :3], trel[:, 3]
+                r = r_cr @ tcp[:, :3]
+                t = r_cr @ tcp[:, 3] + t_cr
+                trel = np.concatenate([r, t[:, None]], axis=1)
+                ref, gen = prev, pgen
+                hops += 1
             if not (0 <= ref < len(kf_valid) and bool(kf_valid[ref])
                     and self._kf_gen.get(ref) == gen):
                 out.append((ts, twc))

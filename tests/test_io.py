@@ -234,3 +234,137 @@ class TestFeedCodec:
                                    np.asarray(f_raw.feat.uv))
         np.testing.assert_allclose(np.asarray(f_pk.depth_kp),
                                    np.asarray(f_raw.depth_kp), atol=1e-5)
+
+
+class TestRos2Sync:
+    """The ROS2 driver's sync/batching logic (examples/ros2_rgbd_inertial
+    _node.py) exercised with fake messages — pairs rgb/depth by stamp, drops
+    skewed heads, batches IMU in (t_prev, t_img] exactly once."""
+
+    @staticmethod
+    def _node():
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ros2_node", os.path.join(os.path.dirname(__file__), "..",
+                                      "examples", "ros2_rgbd_inertial_node.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @staticmethod
+    def _img(t, enc="mono8", w=8, h=6):
+        class Stamp:
+            sec = int(t)
+            nanosec = int((t - int(t)) * 1e9)
+
+        class Header:
+            stamp = Stamp()
+
+        class Msg:
+            header = Header()
+            height, width, encoding = h, w, enc
+            data = bytes(h * w * (2 if enc == "16UC1" else 1))
+        return Msg()
+
+    def test_sync_batches_imu_between_frames(self):
+        mod = self._node()
+
+        class FakeSlam:
+            calls = []
+
+            def track_rgbd_inertial(self, g, d, acc, gyro, dts, t):
+                self.calls.append(("vi", t, len(acc), float(dts.sum())))
+
+            def track_rgbd(self, g, d, t):
+                self.calls.append(("v", t, 0, 0.0))
+
+        slam = FakeSlam()
+        node = mod.RgbdInertialNode(None, slam)
+        # frame at t=0.10 and t=0.20; IMU at 100 Hz
+        for t in (0.10, 0.20):
+            node.on_rgb(self._img(t))
+            node.on_depth(self._img(t, "16UC1"))
+
+        class ImuMsg:
+            def __init__(self, t):
+                class S:
+                    sec = int(t)
+                    nanosec = int((t - int(t)) * 1e9)
+
+                class H:
+                    stamp = S()
+
+                class V:
+                    x, y, z = 0.1, 0.2, 9.8
+                self.header = H()
+                self.linear_acceleration = V()
+                self.angular_velocity = V()
+
+        for k in range(30):
+            node.on_imu(ImuMsg(0.005 + k * 0.01))
+
+        assert node.sync_step()           # first frame: no previous stamp
+        assert node.sync_step()           # second frame: batched VI
+        assert not node.sync_step()       # nothing left
+        kinds = [c[0] for c in slam.calls]
+        assert kinds == ["v", "vi"], slam.calls
+        # the VI call got exactly the samples in (0.10, 0.20]
+        _, t, n, dt_sum = slam.calls[1]
+        assert abs(t - 0.20) < 1e-9
+        assert n == 10, slam.calls
+        assert abs(dt_sum - 0.10) < 1e-6
+
+    def test_skewed_pairs_dropped(self):
+        mod = self._node()
+
+        class FakeSlam:
+            calls = []
+
+            def track_rgbd(self, g, d, t):
+                self.calls.append(t)
+        slam = FakeSlam()
+        node = mod.RgbdInertialNode(None, slam)
+        node.on_rgb(self._img(0.10))      # orphan (no depth partner)
+        node.on_rgb(self._img(0.30))
+        node.on_depth(self._img(0.301, "16UC1"))  # within the 10 ms gate
+        assert node.sync_step()
+        assert len(slam.calls) == 1 and abs(slam.calls[0] - 0.30) < 1e-6
+
+
+class TestImuCalibration:
+    """tools/process_imu.py Allan analysis (the reference's Examples/
+    Calibration python_scripts role): white-noise and random-walk densities
+    must be recovered from a static recording."""
+
+    def test_allan_recovers_densities(self):
+        import tools.process_imu as P
+        rng = np.random.default_rng(0)
+        rate, density, walk = 200.0, 1.7e-4, 1.9e-5
+        n = int(200 * 1800)
+        x = rng.normal(0, density * np.sqrt(rate), n) \
+            + np.cumsum(rng.normal(0, walk / np.sqrt(rate), n))
+        taus, ad = P.allan_deviation(x, rate)
+        n_fit, k_fit = P.fit_noise_params(taus, ad)
+        assert abs(n_fit / density - 1) < 0.05, n_fit
+        assert abs(k_fit / walk - 1) < 0.35, k_fit
+
+    def test_recorder_to_analysis_roundtrip(self, tmp_path):
+        """calibration_recorder (static) -> process_imu recovers the noise
+        density it injected; the EuRoC layout is written completely."""
+        import subprocess
+        import sys as _sys
+        out = str(tmp_path / "calib")
+        r = subprocess.run(
+            [_sys.executable, "tools/calibration_recorder.py", "--out", out,
+             "--seconds", "120", "--fps", "0.5", "--imu-rate", "200"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr
+        assert os.path.exists(os.path.join(out, "cam0", "times.txt"))
+        assert len(os.listdir(os.path.join(out, "cam0", "data"))) == 60
+        import tools.process_imu as P
+        ts, gyro, acc, rate = P.load_euroc_imu(out)
+        assert abs(rate - 200.0) < 1.0
+        taus, ad = P.allan_deviation(gyro[:, 0] - gyro[:, 0].mean(), rate)
+        n_fit, _ = P.fit_noise_params(taus, ad)
+        assert abs(n_fit / 1.7e-4 - 1) < 0.2, n_fit
