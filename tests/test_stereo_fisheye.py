@@ -171,3 +171,71 @@ def test_yaml_tumvi_stereo_fisheye():
     assert sf.lapping_l == (0.0, 511.0)
     r = np.asarray(sf.r_lr).reshape(3, 3)
     assert np.allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_track_stereo_fisheye_inertial_e2e():
+    """Stereo-fisheye + IMU: preintegration drives prediction and the VI
+    refinement on the dual-KB8 rig (the TUM-VI stereo-inertial regime)."""
+    from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
+                                              SyntheticSequence, Camera)
+    from geoflowslam_tpu.pipeline.system import (SlamSystem, SystemConfig,
+                                                 StereoFisheyeConfig)
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    from geoflowslam_tpu.state.frame import FrameConfig
+    from geoflowslam_tpu.ops.extractor import OrbConfig
+    from geoflowslam_tpu.eval.ate import ate_rmse
+
+    w, h = 320, 240
+    fx = fy = 140.0
+    caml = Camera(fx=fx, fy=fy, cx=w / 2, cy=h / 2, width=w, height=h,
+                  kb8=KB8_L)
+    camr = Camera(fx=fx + 0.5, fy=fy + 0.3, cx=w / 2 - 1.0, cy=h / 2 + 0.5,
+                  width=w, height=h, kb8=KB8_R)
+    r_lr, t_lr = _rig(baseline=0.1)
+    rot_rl = np.asarray(r_lr.T)
+    t_rl = -rot_rl @ np.asarray(t_lr)
+
+    world_l = SyntheticWorld(caml)
+    world_r = SyntheticWorld(camr)
+    seq = SyntheticSequence(world_l, fps=10.0)
+    render_r = jax.jit(world_r.render)
+
+    orb = OrbConfig(n_features=400, n_levels=4, height=h, width=w)
+    fc = FrameConfig(orb=orb, lk_levels=3, cloud_stride=8, cloud_max_pts=512,
+                     bf=fx * 0.1, camera_model="kb8", dist_params=KB8_L)
+    sf = StereoFisheyeConfig(
+        params_r=(camr.fx, camr.fy, camr.cx, camr.cy, *KB8_R),
+        r_lr=tuple(np.asarray(r_lr).reshape(-1).tolist()),
+        t_lr=tuple(np.asarray(t_lr).tolist()),
+        lapping_l=(0.0, float(w)), lapping_r=(0.0, float(w)))
+    cfg = SystemConfig(fx=fx, fy=fy, cx=w / 2, cy=h / 2, bf=fx * 0.1,
+                       frame=fc, k_max=32, m_max=8192, sensor="stereo",
+                       stereo_fisheye=sf, kf_min_interval=1,
+                       kf_max_interval=4,
+                       imu=ImuConfig(init_min_kfs=4, init_min_time=0.8))
+    slam = SlamSystem(cfg)
+
+    gt, last_t = [], 0.0
+    for i in range(25):
+        t = i / seq.fps
+        gray_l, _, (rot_cw, t_cw) = seq.frame(t)
+        rot_cw_r = jnp.asarray(rot_rl) @ rot_cw
+        t_cw_r = jnp.asarray(rot_rl) @ t_cw + jnp.asarray(t_rl)
+        gray_r, _ = render_r(rot_cw_r, t_cw_r)
+        if i == 0:
+            slam.track_stereo_fisheye(gray_l, gray_r, t)
+        else:
+            acc, gyro, dts = seq.imu_between(last_t, t, 32)
+            slam.track_stereo_fisheye_inertial(gray_l, gray_r,
+                                               acc, gyro, dts, t)
+        last_t = t
+        twc = np.eye(4)
+        rwc = np.asarray(rot_cw).T
+        twc[:3, :3] = rwc
+        twc[:3, 3] = -rwc @ np.asarray(t_cw)
+        gt.append((t, twc))
+    assert slam.map_stats()["state"] == "OK", slam.map_stats()
+    assert slam.imu.initialized
+    m = ate_rmse(slam.trajectory, gt, with_scale=False)
+    assert m["ate_rmse"] < 0.06, m
