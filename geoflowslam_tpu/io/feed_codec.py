@@ -20,10 +20,45 @@ RGBD.DepthMapFactor); this is the same sensor data, packed for the wire.
 """
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 M12_STEP_M = 0.004        # metres per 12-bit depth step (4 mm)
 M12_MAX_Q = 4095
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "libgfs_native.so")
+_lib = None
+
+
+def _load_lib():
+    """Native single-pass packer (native/feed_pack.cpp): ~0.2 ms at
+    640x480 vs ~3 ms through numpy temporaries — per-frame host work on
+    the production feed path."""
+    global _lib
+    if _lib is not None:
+        return _lib if _lib != 0 else None
+    if not os.path.exists(_LIB_PATH):
+        _lib = 0
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.gfs_pack_m12.restype = ctypes.c_long
+        lib.gfs_pack_m12.argtypes = [
+            u8p, np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, u8p]
+        lib.gfs_pack_m12f.restype = ctypes.c_long
+        lib.gfs_pack_m12f.argtypes = [
+            u8p, np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, u8p]
+    except (OSError, AttributeError):
+        _lib = 0
+        return None
+    _lib = lib
+    return lib
 
 
 def packed_size(h: int, w: int) -> int:
@@ -40,8 +75,22 @@ def pack_m12(gray: np.ndarray, depth: np.ndarray,
     g = gray if gray.dtype == np.uint8 else \
         np.clip(gray, 0, 255).astype(np.uint8)
     scale = depth_unit_m / M12_STEP_M
-    q = np.clip(depth.astype(np.float32) * scale, 0, M12_MAX_Q) \
-        .astype(np.uint16)
+    lib = _load_lib()
+    if lib is not None:
+        out = np.empty(packed_size(h, w), np.uint8)
+        g = np.ascontiguousarray(g)
+        if depth.dtype == np.uint16:
+            lib.gfs_pack_m12(g, np.ascontiguousarray(depth), h, w,
+                             np.float32(scale), out)
+        else:
+            lib.gfs_pack_m12f(
+                g, np.ascontiguousarray(depth, np.float32), h, w,
+                np.float32(scale), out)
+        return out
+    # round-half-up to match the native packer exactly (np.rint would
+    # round half-to-even)
+    q = np.floor(np.clip(depth.astype(np.float32) * scale, 0, M12_MAX_Q)
+                 + 0.5).astype(np.uint16)
     a, b = q[:, 0::2], q[:, 1::2]
     out = np.empty((h, w // 2, 3), np.uint8)
     out[..., 0] = a & 0xFF

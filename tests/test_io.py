@@ -368,3 +368,27 @@ class TestImuCalibration:
         taus, ad = P.allan_deviation(gyro[:, 0] - gyro[:, 0].mean(), rate)
         n_fit, _ = P.fit_noise_params(taus, ad)
         assert abs(n_fit / 1.7e-4 - 1) < 0.2, n_fit
+
+
+def test_feed_codec_native_matches_numpy():
+    """native/feed_pack.cpp must produce byte-identical buffers to the
+    numpy reference implementation (u16 and f32 depth variants)."""
+    from geoflowslam_tpu.io import feed_codec as FC
+    if FC._load_lib() is None:
+        import pytest as _pytest
+        _pytest.skip("native lib not built")
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    depth_mm = rng.integers(0, 17000, (h, w)).astype(np.uint16)
+    lib = FC._lib
+    try:
+        FC._lib = 0                       # force the numpy path
+        ref_u16 = FC.pack_m12(gray, depth_mm, 1e-3)
+        ref_f32 = FC.pack_m12(gray, depth_mm.astype(np.float32) * 1e-3, 1.0)
+    finally:
+        FC._lib = lib
+    nat_u16 = FC.pack_m12(gray, depth_mm, 1e-3)
+    nat_f32 = FC.pack_m12(gray, depth_mm.astype(np.float32) * 1e-3, 1.0)
+    np.testing.assert_array_equal(nat_u16, ref_u16)
+    np.testing.assert_array_equal(nat_f32, ref_f32)
