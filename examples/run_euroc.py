@@ -46,6 +46,9 @@ def main():
         from geoflowslam_tpu.io.yaml_compat import system_config_from_yaml
         cfg, _ = system_config_from_yaml(
             args.settings, sensor="mono" if "mono" in args.mode else "rgbd")
+        if "imu" not in args.mode:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, imu=None)
     else:
         # EuRoC cam0 defaults (458.654, 457.296, 367.215, 248.375; 752x480,
         # radtan distortion) — the reference ships these in its euroc yamls
@@ -78,7 +81,16 @@ def main():
                                            cfg.imu.max_samples_per_frame)
         if "stereo" in args.mode:
             _, gray_r, _ = next(loader_r)
-            if has_imu:
+            # dual-KB8 rigs (TUM-VI-style settings with Camera2.* blocks)
+            # route through the stereo-fisheye matcher; rectified rigs use
+            # the epipolar SAD path
+            if cfg.stereo_fisheye is not None:
+                if has_imu:
+                    slam.track_stereo_fisheye_inertial(gray, gray_r, acc,
+                                                       gyro, dts, fr.time)
+                else:
+                    slam.track_stereo_fisheye(gray, gray_r, fr.time)
+            elif has_imu:
                 slam.track_stereo_inertial(gray, gray_r, acc, gyro, dts, fr.time)
             else:
                 slam.track_stereo(gray, gray_r, fr.time)

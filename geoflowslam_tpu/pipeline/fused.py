@@ -169,9 +169,35 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
         body_vis = body_from_cam(rot_f, t_f, v_fd)
         body_out = _tree_where(accept, s2, body_vis)
 
+    # ---- on-device health gate ------------------------------------------
+    # A failed frame (inlier collapse) must NOT poison the device-resident
+    # chained state: the host only learns about the failure a read-batch
+    # later, and every frame dispatched meanwhile would track from the
+    # garbage pose. Carry the PREDICTED state instead (IMU dead-reckoning /
+    # motion-model extrapolation — the reference's RECENTLY_LOST
+    # PredictStateIMU behavior, src/Tracking.cc:2480) and keep the map
+    # untouched; the host's staged recovery still runs at drain time using
+    # the true inlier counts in the packet.
+    n_eff = jnp.where(accept, n_vi, res2.n_inliers) \
+        if imu_mode in ("kf", "prior") else res2.n_inliers
+    ok_frame = n_eff >= min_inliers
+    rot_f = jnp.where(ok_frame, rot_f, pr)
+    t_f = jnp.where(ok_frame, t_f, pt)
+    obs_f = jnp.where(ok_frame, obs_f, last_obs_mp)
+    # (fields track_local_map didn't touch are the same tensor; XLA folds
+    # select(c, x, x) — only genuinely-updated arrays pay for the gate)
+    ms2 = jax.tree_util.tree_map(lambda a, b: jnp.where(ok_frame, a, b),
+                                 ms2, ms)
+    if body_out is not None:
+        body_out = _tree_where(ok_frame, body_out, pred_body)
+
     # ---- motion model update (Tcl = Tcw ∘ Tlw^-1) ------------------------
     lri, lti = lie.se3_inverse(cur_rot, cur_t)
     nvr, nvt = lie.se3_compose(rot_f, t_f, lri, lti)
+    # on failure keep the previous motion model (don't learn from a
+    # predicted-only delta)
+    nvr = jnp.where(ok_frame, nvr, vel_rot)
+    nvt = jnp.where(ok_frame, nvt, vel_t)
 
     rwc = rot_f.T
     twc = jnp.concatenate([rwc, (-(rwc @ t_f))[:, None]], axis=1)

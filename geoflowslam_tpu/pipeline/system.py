@@ -233,6 +233,8 @@ class SlamSystem:
         self._pkt_out: _queue.Queue = _queue.Queue()
         self._pkt_busy = False         # a window read is in flight
         self._pkt_last_read_t = 0.0    # monotonic stamp of the last kick
+        self._kf_seq_floor = 0         # newest dispatched seq at last KF
+                                       # insert (KF-policy staleness guard)
         self._recovering = False       # staged reprocess of pipelined frames
         self._pkt_thread = None        # started lazily on first fused frame
         self._deferred: list = []      # lag-matured per-KF mapping scalars
@@ -567,7 +569,7 @@ class SlamSystem:
             if self._recovering:
                 self._reprocess_staged(ent)
             else:
-                self._process_pending(ent, row[1:])
+                self._process_pending(ent, row[1:], seq=s)
         if self._recovering:
             # recovery: every younger already-dispatched frame passes
             # through the staged state machine NOW, in order (the fused
@@ -598,7 +600,7 @@ class SlamSystem:
         else:
             self._track_frame(frame, ts)
 
-    def _process_pending(self, ent, pkt):
+    def _process_pending(self, ent, pkt, seq=None):
         """Deferred per-frame host decisions: scalar read-back, trajectory,
         KF policy, VI-acceptance bookkeeping, failure recovery, GBA step.
         Runs a read-batch behind dispatch; `pkt` is the frame's matured
@@ -635,11 +637,21 @@ class SlamSystem:
         if mode in ("kf", "prior") and not vi_ok:
             self._vi_prior = None
         self.frames_since_kf += 1
-        if self._need_new_keyframe(out.frame, n_final, timestamp):
+        # KF-policy staleness guard: frames DISPATCHED before the last KF
+        # landed tracked against the pre-KF snapshot, so their inlier
+        # ratios look degraded relative to the new reference (the
+        # reference's NeedNewKeyFrame compares against the CURRENT ref KF,
+        # Tracking.cc:3250) — deciding on them over-inserts KFs until the
+        # map hits capacity. Only frames dispatched after the insertion
+        # are eligible.
+        eligible = seq is None or seq > self._kf_seq_floor
+        if eligible and self._need_new_keyframe(out.frame, n_final,
+                                                timestamp):
             # KF lands one frame behind tracking — the reference's async
             # LocalMapping has the same lag by design
             self._insert_keyframe(out.frame, timestamp, T.TrackResult(
                 out.rot, out.t, out.obs_mp, sc[1]))
+            self._kf_seq_floor = self._pkt_seq
 
         if self._gba is not None and self._gba.active:
             if self._gba.step():
