@@ -96,8 +96,9 @@ def main():
                 slam.track_stereo(gray, gray_r, fr.time)
         else:
             if has_imu:
-                slam._p_frame = slam.imu.preintegrate_frame(acc, gyro, dts)
-            slam.track_monocular(gray, fr.time)
+                slam.track_monocular_inertial(gray, acc, gyro, dts, fr.time)
+            else:
+                slam.track_monocular(gray, fr.time)
         last_t = fr.time
         if idx % 100 == 0:
             print(f"[{idx}/{len(frames)}] {slam.map_stats()}", flush=True)

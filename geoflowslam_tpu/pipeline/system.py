@@ -279,6 +279,16 @@ class SlamSystem:
         frame = self._build_frame_mono(jnp.asarray(gray))
         return self._track(frame, timestamp)
 
+    def track_monocular_inertial(self, gray, acc, gyro, dts,
+                                 timestamp: float):
+        """Mono-Inertial mode (System::TrackMonocular with an IMU window,
+        src/System.cc:558 IMU_MONOCULAR): preintegrate the (last, this]
+        gap, then the monocular path."""
+        assert self.imu is not None
+        self._p_frame = self.imu.preintegrate_frame(acc, gyro, dts,
+                                                    timestamp)
+        return self.track_monocular(gray, timestamp)
+
     def track_stereo(self, gray_l, gray_r, timestamp: float):
         """System::TrackStereo: extract on the left image, depth from the
         epipolar SAD matcher (Frame::ComputeStereoMatches), then the RGB-D

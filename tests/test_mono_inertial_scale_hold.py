@@ -50,8 +50,7 @@ def test_mono_inertial_scale_hold_60s():
             slam.track_monocular(gray, t)
         else:
             acc, gyro, dts = seq.imu_between(last_t, t, 64)
-            slam._p_frame = slam.imu.preintegrate_frame(acc, gyro, dts)
-            slam.track_monocular(gray, t)
+            slam.track_monocular_inertial(gray, acc, gyro, dts, t)
         last_t = t
         twc = np.eye(4)
         rwc = np.asarray(rot_cw).T
