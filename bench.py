@@ -9,10 +9,12 @@ with 1000 ORB features — IMU preintegration, frame build (CLAHE + pyramid +
 FAST + rBRIEF + depth cloud), motion-model + local-map tracking, VI pose
 refinement, KF insertion at the reference's forced 0.5 s inertial cadence,
 and the amortized per-KF mapping work (triangulation-free RGB-D point
-creation, VI local BA, fusion, culling) — on a GROWING map at production
-capacities (k_max=256, m_max=65536). Wall-clock per frame includes host
-orchestration, exactly what the reference's ExecTimeMean "Total Tracking"
-measures.
+creation, VI local BA, fusion, culling) — on a GROWING map with loop
+closing ON. Capacities are k_max=128 / m_max=32768 (hours of sequence at
+the 0.5 s KF cadence with culling; half the cold-compile wall of the
+256/64k production default — see the inline note). Wall-clock per frame
+includes host orchestration, exactly what the reference's ExecTimeMean
+"Total Tracking" measures.
 
 Secondary (stderr): the fused single-dispatch visual hot path FPS.
 
