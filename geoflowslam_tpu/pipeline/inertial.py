@@ -194,12 +194,18 @@ class InertialTracker:
         sel = dts > 0
         acc, gyro, dts = acc[sel], gyro[sel], dts[sel]
         cap = self.seg_capacity
-        if len(dts) > cap:
-            # decimate pairs: sum dts, average measurements (keeps total time)
+        while len(dts) > cap:
+            # decimate pairs: sum dts, average measurements (keeps total
+            # time); an odd trailing sample is carried through unmerged.
+            # Loop: one halving is not enough for very long KF gaps (lost
+            # stretches, delayed KF decisions at low frame rates).
             n2 = (len(dts) // 2) * 2
-            acc = 0.5 * (acc[:n2:2] + acc[1:n2:2])
-            gyro = 0.5 * (gyro[:n2:2] + gyro[1:n2:2])
-            dts = dts[:n2:2] + dts[1:n2:2]
+            tail = slice(n2, len(dts))
+            acc = np.concatenate(
+                [0.5 * (acc[:n2:2] + acc[1:n2:2]), acc[tail]])
+            gyro = np.concatenate(
+                [0.5 * (gyro[:n2:2] + gyro[1:n2:2]), gyro[tail]])
+            dts = np.concatenate([dts[:n2:2] + dts[1:n2:2], dts[tail]])
         pad = cap - len(dts)
         acc = np.pad(acc, ((0, pad), (0, 0))).astype(np.float32)
         gyro = np.pad(gyro, ((0, pad), (0, 0))).astype(np.float32)

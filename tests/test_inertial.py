@@ -126,3 +126,26 @@ class TestImuInit:
         aligned = r @ g
         np.testing.assert_allclose(np.asarray(aligned[:2]), 0.0, atol=1e-5)
         assert float(aligned[2]) < -9.0
+
+
+class TestSegmentCompaction:
+    def test_long_kf_gap_decimates_to_capacity(self):
+        """A KF segment longer than 2x seg_capacity (lost stretches /
+        delayed KF decisions at low frame rates) must decimate repeatedly —
+        one halving used to leave len > cap and crash np.pad with a
+        negative width — while preserving total integration time."""
+        from geoflowslam_tpu.pipeline.inertial import InertialTracker, ImuConfig
+
+        tr = InertialTracker(ImuConfig())
+        rate, dt = 200.0, 1.0 / 200.0
+        # 12.8 s of samples = 2560 live rows = 5x the 512 capacity
+        for k in range(128):
+            n = 20
+            acc = np.random.randn(32, 3).astype(np.float32)
+            gyro = np.random.randn(32, 3).astype(np.float32)
+            dts = np.where(np.arange(32) < n, dt, 0.0).astype(np.float32)
+            tr._chunks.append((acc, gyro, dts, 0.1 * k))
+        acc, gyro, dts = tr._stack_chunks_np()
+        assert acc.shape == (tr.seg_capacity, 3)
+        assert dts.shape == (tr.seg_capacity,)
+        assert abs(float(dts.sum()) - 128 * 20 * dt) < 1e-3
