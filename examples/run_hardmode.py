@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--pkt-interval", type=float, default=None,
                     help="override SystemConfig.pkt_read_interval (decision "
                          "ring read pacing)")
+    ap.add_argument("--of", action="store_true",
+                    help="enable dual-stream optical-flow tracking "
+                         "(UseOpticalFlow; leaves the fused fast path)")
+    ap.add_argument("--icp", action="store_true",
+                    help="enable the GICP pose predictor/prior (UseICP; "
+                         "leaves the fused fast path)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +86,10 @@ def main():
     extra = {}
     if args.pkt_interval is not None:
         extra["pkt_read_interval"] = args.pkt_interval
+    if args.of:
+        extra["use_of"] = True
+    if args.icp:
+        extra["use_icp"] = True
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                        bf=cam.fx * 0.1, frame=fc, imu=imu, loop=loop_cfg,
                        sensor="mono" if args.mode == "mono" else "rgbd",
@@ -220,6 +230,7 @@ def main():
     import json
     with open(os.path.join(args.out, "hardmode.json"), "w") as f:
         json.dump({"mode": args.mode, "frames": args.frames,
+                   "of": args.of, "icp": args.icp,
                    "ate_rmse_m": m["ate_rmse"], "rpe_trans_m": r["rpe_trans"],
                    "rpe_rot_deg": r["rpe_rot_deg"], "map": st,
                    "kf_cost_early_ms": early * 1000,

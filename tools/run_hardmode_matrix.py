@@ -28,12 +28,20 @@ def main():
     ap.add_argument("--frames", type=int, default=2000)
     ap.add_argument("--out", default="results_hard")
     ap.add_argument("--modes", default="rgbd,rgbd_inertial,mono")
+    ap.add_argument("--robust", action="store_true",
+                    help="add an rgbd cell with the GeoFlow robustness "
+                         "switches on (--of --icp; non-fused path)")
     args = ap.parse_args()
 
+    variants = [(m, loop, False) for m in args.modes.split(",")
+                for loop in (False, True)]
+    if args.robust:
+        variants.append(("rgbd", False, True))
+
     cells = []
-    for mode in args.modes.split(","):
-        for loop in (False, True):
-            tag = f"{mode}{'_loop' if loop else ''}"
+    for mode, loop, robust in variants:
+        for _ in (0,):
+            tag = f"{mode}{'_loop' if loop else ''}{'_of_icp' if robust else ''}"
             out = os.path.join(args.out, tag)
             cmd = [sys.executable, os.path.join(HERE, "examples",
                                                 "run_hardmode.py"),
@@ -41,6 +49,8 @@ def main():
                    "--out", out]
             if loop:
                 cmd.append("--loop")
+            if robust:
+                cmd += ["--of", "--icp"]
             print(f"== {tag}: {' '.join(cmd)}", flush=True)
             r = subprocess.run(cmd, cwd=HERE, capture_output=True, text=True)
             sys.stdout.write(r.stdout[-2000:])
