@@ -41,10 +41,12 @@ def main():
                          "ring read pacing)")
     ap.add_argument("--of", action="store_true",
                     help="enable dual-stream optical-flow tracking "
-                         "(UseOpticalFlow; leaves the fused fast path)")
+                         "(UseOpticalFlow; fused into the single-dispatch "
+                         "fast path)")
     ap.add_argument("--icp", action="store_true",
-                    help="enable the GICP pose predictor/prior (UseICP; "
-                         "leaves the fused fast path)")
+                    help="enable the GICP pose predictor + inter-KF EdgeICP "
+                         "(UseICP; fused into the fast path, lazy KF "
+                         "registration)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +77,11 @@ def main():
     # compiles of the fused step at new shapes cost minutes on this host).
     fc = FrameConfig(orb=orb, bf=cam.fx * 0.1, lk_levels=4, cloud_stride=4,
                      cloud_max_pts=4096, depth_map_factor=1.0,
+                     # OF dual-stream needs reserved append slots
+                     # (Frame::AddPts capacity); 256 matches the ablation
+                     # tests and changes the frame shapes, so the --of cell
+                     # compiles its own fused program
+                     n_of_slots=256 if args.of else 0,
                      feed_codec="raw" if args.mode == "mono" else "m12")
     imu = ImuConfig() if args.mode == "rgbd_inertial" else None
     vocab = None

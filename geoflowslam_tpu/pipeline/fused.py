@@ -58,6 +58,9 @@ class FusedOut(NamedTuple):
     host_pkt: jnp.ndarray    # [34] f32: scalars(4) + twc(12) + trel(12) +
                              # bias(6) packed into ONE array (kept for the
                              # flush path and tests)
+    of_counts: object        # [2] int32 (n_3d, n_2d) appended OF points,
+                             # or None when the OF stage is off (a None
+                             # leaf keeps non-OF HLO byte-identical)
     pkt_window: jnp.ndarray  # [W,35] rolling window of the last W frames'
                              # [seq, host_pkt] rows. The host decision loop
                              # reads SNAPSHOTS of this ring from a side
@@ -78,12 +81,17 @@ def _tree_where(c, a, b):
             jnp.reshape(c, (1,) * x.ndim) if x.ndim else c, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fcfg", "imu_mode", "min_inliers"))
+@partial(jax.jit, static_argnames=("cfg", "fcfg", "imu_mode", "min_inliers",
+                                   "use_of", "use_icp", "icp_method",
+                                   "icp_min_inliers", "n_of_slots", "ofcfg"))
 def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                vel_rot, vel_t, use_vel, cur_rot, cur_t, ref_kf, local_masks,
                acc, gyro, dts, body, bias, prior_info, r_cb, t_cb, calib,
                cfg: T.TrackConfig, fcfg, imu_mode: str, min_inliers: int,
-               pkt_window=None, seq=None):
+               pkt_window=None, seq=None, last_frame=None,
+               use_of: bool = False, use_icp: bool = False,
+               icp_method: str = "gicp", icp_min_inliers: int = 200,
+               n_of_slots: int = 0, ofcfg=None):
     """One fused frame. imu_mode:
       "off"   — visual only (acc/gyro/body/... may be None)
       "raw"   — IMU present but uninitialized: preintegrate only
@@ -91,6 +99,19 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                 (PoseInertialOptimizationLastKeyFrame; returns the marginal)
       "prior" — frame-to-frame joint solve with the marginalized prior
                 (PoseInertialOptimizationLastFrame)
+
+    GeoFlow robustness stages fused into the SAME dispatch when enabled
+    (round-2 VERDICT: `_can_fuse` used to exclude them, dropping hard
+    sequences to the staged path's per-frame sync costs):
+      use_icp — GICP/NDT registration of the depth clouds as a pose
+        predictor (PredictStateICP/NDT, /root/reference/src/Tracking.cc:
+        3365-3465), gated on-device by `icp_min_inliers` (:3394).
+      use_of  — dual-stream LK optical flow appending tracked keypoints
+        (3D prior stream carries map-point bindings) into the frame's
+        reserved OF slots (SearchByProjectionWithOF, src/ORBmatcher.cc:
+        2303; Frame::AddPts, src/Frame.cc:625).
+    Both need `last_frame` (the previous FusedOut.frame, chained on
+    device); with `last_frame=None` they are statically skipped.
     """
     # ---- IMU preintegration + prediction ---------------------------------
     p_frame = None
@@ -110,8 +131,42 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
 
     # ---- frame build + visual tracking -----------------------------------
     frame = build_frame(gray, depth, fcfg, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+
+    # ---- GICP/NDT pose predictor (PredictStateICP, Tracking.cc:3365) -----
+    if use_icp and last_frame is not None and frame.cloud is not None:
+        from geoflowslam_tpu.ops import gicp as G
+        # init: T_lc = T_lw ∘ T_cw_pred^-1 (cur_* is the last frame's pose)
+        pri_i, pti_i = lie.se3_inverse(pr, pt)
+        r0, t0 = lie.se3_compose(cur_rot, cur_t, pri_i, pti_i)
+        reg_fn = G.ndt_register if icp_method == "ndt" else G.gicp_register
+        reg = reg_fn(frame.cloud, frame.cloud_valid,
+                     last_frame.cloud, last_frame.cloud_valid,
+                     init_rot=r0, init_t=t0)
+        icp_ok = reg.n_inliers >= icp_min_inliers
+        # T_cw = T_lc^-1 ∘ T_lw
+        rri, rti = lie.se3_inverse(reg.rot, reg.t)
+        r_icp, t_icp = lie.se3_compose(rri, rti, cur_rot, cur_t)
+        pr = jnp.where(icp_ok, r_icp, pr)
+        pt = jnp.where(icp_ok, t_icp, pt)
+
+    # ---- dual-stream OF append (SearchByProjectionWithOF) ----------------
+    # of_counts stays None unless the OF stage runs: a None leaf adds no HLO
+    # output, so non-OF configs keep their exact pre-OF compiled program
+    # (warm persistent-cache hits matter on this host).
+    extra_obs = None
+    of_counts = None
+    if use_of and last_frame is not None and n_of_slots > 0:
+        from geoflowslam_tpu.pipeline import of_tracking as OF
+        key = jax.random.PRNGKey(
+            jnp.asarray(0.0 if seq is None else seq).astype(jnp.int32))
+        frame, extra_obs, n3d, n2d = OF.of_dual_stream.__wrapped__(
+            ms, last_frame, frame, last_obs_mp, pr, pt, key, cfg,
+            OF.OFConfig() if ofcfg is None else ofcfg, n_of_slots)
+        of_counts = jnp.stack([n3d, n2d]).astype(jnp.int32)
+
     res = T.track_with_motion_model.__wrapped__(
-        ms, frame, last_obs_mp, pr, pt, cfg, last_levels=last_levels)
+        ms, frame, last_obs_mp, pr, pt, cfg, extra_obs=extra_obs,
+        last_levels=last_levels)
     ms2, res2 = T.track_local_map.__wrapped__(
         ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg,
         local_masks=local_masks)
@@ -224,4 +279,5 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     return FusedOut(frame=frame, rot=rot_f, t=t_f, obs_mp=obs_f, ms=ms2,
                     vel_rot=nvr, vel_t=nvt, p_frame=p_frame, body=body_out,
                     marg=marg, scalars=scalars, twc=twc, trel=trel,
-                    bias_out=bias_out, host_pkt=host_pkt, pkt_window=win)
+                    bias_out=bias_out, host_pkt=host_pkt, of_counts=of_counts,
+                    pkt_window=win)

@@ -402,11 +402,16 @@ class SlamSystem:
 
     def _can_fuse(self) -> bool:
         """Use the single-dispatch production step (pipeline/fused.py) when
-        the frame needs no host-interleaved feature (OF/ICP/lidar append
-        observations or priors mid-pipeline) and tracking is healthy."""
+        tracking is healthy. The GeoFlow robustness stages (OF dual-stream,
+        GICP/NDT predictor) are FUSED into the same dispatch when enabled —
+        they just need the previous frame chained on device (set by both
+        the staged and fused paths); lidar point-to-plane refinement still
+        interleaves host state and stays staged."""
+        if (self.cfg.use_of or self.cfg.use_icp) \
+                and getattr(self, "last_frame", None) is None:
+            return False
         return (self.state == TrackingState.OK
-                and not (self.cfg.use_of or self.cfg.use_icp
-                         or self.cfg.use_lidar)
+                and not self.cfg.use_lidar
                 and not self.cfg.record_reproj_err
                 and not getattr(self, "_localization_only", False)
                 and self.last_obs_mp is not None)
@@ -472,7 +477,14 @@ class SlamSystem:
                 imu.calib if mode != "off" else None,
                 self.tcfg, self.cfg.frame, mode, self.cfg.min_inliers_ok,
                 pkt_window=self._pkt_window,
-                seq=np.float32(self._pkt_seq + 1))
+                seq=np.float32(self._pkt_seq + 1),
+                last_frame=(self.last_frame
+                            if (self.cfg.use_of or self.cfg.use_icp)
+                            else None),
+                use_of=self.cfg.use_of, use_icp=self.cfg.use_icp,
+                icp_method=self.cfg.icp_method,
+                icp_min_inliers=self.cfg.icp_min_inliers,
+                n_of_slots=self.cfg.frame.n_of_slots)
 
         if mode != "off":
             imu._chunks.append((acc, gyro, dts, timestamp))  # pending KF segment
@@ -492,6 +504,10 @@ class SlamSystem:
             imu.bias = out.bias_out          # future; == old bias if rejected
             self._vi_prior = out.marg        # cleared on readback if rejected
         self._last_levels = out.frame.feat.level
+        if self.cfg.use_of or self.cfg.use_icp:
+            self.last_frame = out.frame      # device-chained for OF/ICP
+        if self.cfg.use_of:
+            self.debug_of = out.of_counts    # device futures (n3d, n2d)
         self.last_time = timestamp
         self.n_frames += 1
 
@@ -609,6 +625,8 @@ class SlamSystem:
             self._initialize(frame, ts)
         else:
             self._track_frame(frame, ts)
+        if self.cfg.use_of or self.cfg.use_icp:
+            self.last_frame = frame
 
     def _process_pending(self, ent, pkt, seq=None):
         """Deferred per-frame host decisions: scalar read-back, trajectory,
@@ -1163,6 +1181,54 @@ class SlamSystem:
         ri, ti = lie.se3_inverse(res.rot, res.t)
         return lie.se3_compose(ri, ti, self.cur_rot, self.cur_t)
 
+    def _register_kf_icp_lazy(self, slot: int, frame: FrameData, rot, t,
+                              prev):
+        """Inter-KF GICP registration with NO host sync: stores device
+        futures (rot, t, prev, n_inliers); the reference's 400-inlier gate
+        (Optimizer.cc:3321) is applied on device at consumption
+        (_icp_factors_device) or on host at VI-BA assembly (_run_vi_ba)."""
+        from geoflowslam_tpu.ops import gicp as G
+
+        self._kf_clouds[slot] = (frame.cloud, frame.cloud_valid)
+        self._last_kf_slot = slot
+        if prev is None or prev not in self._kf_clouds or prev == slot:
+            return
+        pc_prev, pv_prev = self._kf_clouds[prev]
+        r_prev, t_prev = self.ms.kf_rot[prev], self.ms.kf_t[prev]
+        ri, ti = lie.se3_inverse(rot, t)
+        r0, t0 = lie.se3_compose(r_prev, t_prev, ri, ti)
+        reg = G.gicp_register(frame.cloud, frame.cloud_valid,
+                              pc_prev, pv_prev, init_rot=r0, init_t=t0)
+        rr, tr = lie.se3_inverse(reg.rot, reg.t)
+        self._kf_icp_rel[slot] = (rr, tr, prev, reg.n_inliers)
+        if len(self._kf_clouds) > 40:
+            self._kf_clouds.pop(min(self._kf_clouds), None)
+
+    def _icp_factors_device(self, slots_p, kw: int):
+        """RelPoseFactors for a padded VI window from the lazily-registered
+        inter-KF ICP measurements — info weight gated on device. Always
+        returns fixed-shape factors (zero-info rows when absent) so
+        mapping_step keeps ONE trace across the run."""
+        from geoflowslam_tpu.solvers.inertial_ba import RelPoseFactors
+
+        rots, ts, infos = [], [], []
+        for i in range(kw - 1):
+            rel = self._kf_icp_rel.get(int(slots_p[i + 1]))
+            if rel is not None and rel[2] == int(slots_p[i]):
+                rots.append(jnp.asarray(rel[0]))
+                ts.append(jnp.asarray(rel[1]))
+                if len(rel) > 3 and rel[3] is not None:
+                    infos.append(jnp.where(
+                        jnp.asarray(rel[3]) >= 400, 1e3, 0.0))
+                else:        # host-gated entry (slow path): already passed
+                    infos.append(jnp.asarray(1e3, jnp.float32))
+            else:
+                rots.append(jnp.eye(3, dtype=jnp.float32))
+                ts.append(jnp.zeros(3, jnp.float32))
+                infos.append(jnp.asarray(0.0, jnp.float32))
+        return RelPoseFactors(rot=jnp.stack(rots), t=jnp.stack(ts),
+                              info=jnp.stack(infos))
+
     def _register_kf_icp(self, slot: int, frame: FrameData, res: T.TrackResult):
         """Inter-KF GICP for EdgeICP factors (Optimizer.cc:3260-3321: re-run
         registration between consecutive KFs, gate on 400 inliers)."""
@@ -1373,7 +1439,10 @@ class SlamSystem:
                 rel = self._kf_icp_rel.get(slots_p[i + 1])
                 if rel is not None and rel[2] == slots_p[i]:
                     rots.append(np.asarray(rel[0])); ts.append(np.asarray(rel[1]))
-                    infos.append(1e3)
+                    # lazy (fused-path) entries carry the inlier count as a
+                    # device future — apply the 400-inlier gate here
+                    infos.append(1e3 if len(rel) < 4 or rel[3] is None
+                                 or int(np.asarray(rel[3])) >= 400 else 0.0)
                 else:
                     rots.append(np.eye(3, dtype=np.float32))
                     ts.append(np.zeros(3, np.float32))
@@ -1417,6 +1486,11 @@ class SlamSystem:
                 kv, km, am = self._host_slot_mirror()
                 free = np.where(~kv)[0]
         kf_slot = int(free[0])
+        # previous KF for the inter-KF ICP factor: captured BEFORE
+        # imu.on_keyframe appends the new slot to kf_order
+        prev_icp = getattr(self, "_last_kf_slot", None)
+        if self.imu is not None and self.imu.kf_order:
+            prev_icp = self.imu.kf_order[-1]
 
         imu = self.imu
         use_vi = imu is not None
@@ -1452,6 +1526,15 @@ class SlamSystem:
         if not use_vi:
             vel = np.zeros(3, np.float32)
             bias = np.zeros(6, np.float32)
+
+        if self.cfg.use_icp and frame.cloud is not None:
+            # lazy inter-KF GICP (EdgeICP measurement, Optimizer.cc:3260):
+            # dispatch only — the 400-inlier gate is applied ON DEVICE when
+            # the factor is consumed, so the fused KF path stays sync-free
+            self._register_kf_icp_lazy(kf_slot, frame, res.rot, res.t,
+                                       prev_icp)
+            if use_vi:
+                icp = self._icp_factors_device(slots_p, kw)
 
         out = LM.mapping_step(
             self.ms, frame, res.rot, res.t,
@@ -1500,9 +1583,11 @@ class SlamSystem:
 
     def _insert_keyframe(self, frame: FrameData, timestamp: float,
                          res: T.TrackResult):
-        if (self.cfg.sensor != "mono" and not self.cfg.use_icp
+        if (self.cfg.sensor != "mono"
                 and not self.cfg.use_lidar and self.cfg.local_ba_every_kf
                 and (self.imu is None or self.imu.initialized)):
+            # use_icp rides the fused path too: inter-KF GICP is dispatched
+            # lazily with a device-side inlier gate (_register_kf_icp_lazy)
             return self._insert_keyframe_fused(frame, timestamp, res)
         _t_kf = __import__("time").perf_counter()
         self._mirror_dirty = True
@@ -1826,6 +1911,7 @@ class SlamSystem:
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
         self.last_obs_mp = None
+        self.last_frame = None           # stale OF/ICP chaining source
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None
@@ -1844,6 +1930,7 @@ class SlamSystem:
         self.state = TrackingState.NOT_INITIALIZED
         self.has_vel = False
         self.last_obs_mp = None
+        self.last_frame = None           # stale OF/ICP chaining source
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None
