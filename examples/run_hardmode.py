@@ -158,17 +158,37 @@ def main():
         return (110.0 + (g - 110.0) * c).astype(jnp.float32)
 
     # ---- pre-render the sequence to HOST memory (bench operating mode:
-    # the timed loop feeds packed host buffers, no render in the queue) ----
+    # the timed loop feeds packed host buffers, no render in the queue).
+    # The render is deterministic in (mode kind, frames, fps, w, h), so it
+    # is cached on disk: a matrix run re-renders each geometry ONCE instead
+    # of per cell (the 2000-frame pre-render costs ~4 min of device reads
+    # on this host) --------------------------------------------------------
     t0r = time.time()
-    frames_h = []
-    for i in range(args.frames):
-        c = np.float32(contrast_schedule(ts_all[i], seq.period))
-        if args.mode == "mono":
-            frames_h.append(np.asarray(render_gray(rot_cw_a[i], t_cw_a[i], c)))
-        else:
-            frames_h.append(np.asarray(render_packed(rot_cw_a[i], t_cw_a[i], c)))
-    print(f"pre-render {args.frames} frames: {time.time()-t0r:.1f}s",
-          file=sys.stderr)
+    kind = "gray" if args.mode == "mono" else "m12"
+    cache_dir = os.environ.get("GFS_FRAME_CACHE",
+                               "/root/.cache/gfs_hard_frames")
+    os.makedirs(cache_dir, exist_ok=True)
+    cpath = os.path.join(
+        cache_dir, f"{kind}_{args.frames}_{args.fps:g}_{w}x{h}.npy")
+    if os.path.exists(cpath):
+        stack = np.load(cpath, mmap_mode="r")
+        frames_h = [np.asarray(stack[i]) for i in range(args.frames)]
+        print(f"pre-render cache hit: {cpath} "
+              f"({time.time()-t0r:.1f}s)", file=sys.stderr)
+    else:
+        frames_h = []
+        for i in range(args.frames):
+            c = np.float32(contrast_schedule(ts_all[i], seq.period))
+            if args.mode == "mono":
+                frames_h.append(
+                    np.asarray(render_gray(rot_cw_a[i], t_cw_a[i], c)))
+            else:
+                frames_h.append(
+                    np.asarray(render_packed(rot_cw_a[i], t_cw_a[i], c)))
+        np.save(cpath + ".tmp.npy", np.stack(frames_h))
+        os.replace(cpath + ".tmp.npy", cpath)
+        print(f"pre-render {args.frames} frames: {time.time()-t0r:.1f}s "
+              f"(cached -> {cpath})", file=sys.stderr)
 
     gt = []
     kf_costs = []

@@ -142,7 +142,9 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
         reg = reg_fn(frame.cloud, frame.cloud_valid,
                      last_frame.cloud, last_frame.cloud_valid,
                      init_rot=r0, init_t=t0)
-        icp_ok = reg.n_inliers >= icp_min_inliers
+        # PredictStateICP accepts only converged registrations with enough
+        # inliers (Tracking.cc:3394: result.converged && num_inliers > 200)
+        icp_ok = reg.converged & (reg.n_inliers >= icp_min_inliers)
         # T_cw = T_lc^-1 ∘ T_lw
         rri, rti = lie.se3_inverse(reg.rot, reg.t)
         r_icp, t_icp = lie.se3_compose(rri, rti, cur_rot, cur_t)

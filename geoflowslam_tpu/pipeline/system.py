@@ -128,6 +128,18 @@ class SystemConfig:
             scale_factor=self.frame.orb.scale_factor)
 
 
+@jax.jit
+def _culled_rel_pose(ms, culled, prev):
+    """T_culled<-prev as a [3,4] device matrix (mTcp parent-chain snapshot,
+    System.cc:994+) — dispatched async so a KF cull never drains the
+    pipeline with blocking pose reads."""
+    rc, tc = ms.kf_rot[culled], ms.kf_t[culled]
+    rp, tp = ms.kf_rot[prev], ms.kf_t[prev]
+    r_cp = rc @ rp.T
+    t_cp = tc - r_cp @ tp
+    return jnp.concatenate([r_cp, t_cp[:, None]], axis=1)
+
+
 class SlamSystem:
     """RGB-D (mono support via pipeline/mono_init) SLAM system."""
 
@@ -181,6 +193,10 @@ class SlamSystem:
         # the surviving ancestor instead of freezing at their as-tracked
         # pose (which for mono-inertial still carries pre-init scale).
         self._culled_rel: dict = {}
+        # host mirror of kf_prev (temporal parents) — maintained at insert/
+        # cull, resynced with the slot mirror; lets _on_kf_culled record the
+        # parent-chain snapshot without blocking device reads
+        self._kf_prev_h: dict = {}
         # per-frame reprojection stats (mFrame2FrameReprojErr /
         # mFrame2MapReprojErr analogues, include/Tracking.h:430)
         self.f2f_reproj: List[Tuple[float, float, int]] = []
@@ -814,7 +830,9 @@ class SlamSystem:
             if self.state == TrackingState.NOT_INITIALIZED:
                 self._initialize(frame, timestamp)
             else:
-                self._track_frame(frame, timestamp)
+                f2 = self._track_frame(frame, timestamp)
+                if f2 is not None:
+                    frame = f2       # OF-appended frame (see _track_frame)
 
         # background GBA micro-step: one GN iteration per frame, bounded
         # latency; on completion write back with correction propagation
@@ -1078,6 +1096,10 @@ class SlamSystem:
                       and timestamp - self.lost_since > self.cfg.time_recently_lost):
                     self.state = TrackingState.LOST
                     self._reset_or_new_map(frame, timestamp)
+        # the OF dual-stream rebinds `frame` with appended tracked points —
+        # hand it back so the caller chains last_frame to the APPENDED frame
+        # (track_feature_pts_ continuity, as the fused path's out.frame)
+        return frame
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Tracking::Relocalization (src/Tracking.cc:4537): BoW candidate
@@ -1175,7 +1197,8 @@ class SlamSystem:
             res = G.gicp_register(frame.cloud, frame.cloud_valid,
                                   lf.cloud, lf.cloud_valid,
                                   init_rot=r0, init_t=t0)
-        if int(res.n_inliers) < self.cfg.icp_min_inliers:
+        if (not bool(res.converged)
+                or int(res.n_inliers) < self.cfg.icp_min_inliers):
             return None
         # T_cw = T_lc^-1 ∘ T_lw
         ri, ti = lie.se3_inverse(res.rot, res.t)
@@ -1184,12 +1207,17 @@ class SlamSystem:
     def _register_kf_icp_lazy(self, slot: int, frame: FrameData, rot, t,
                               prev):
         """Inter-KF GICP registration with NO host sync: stores device
-        futures (rot, t, prev, n_inliers); the reference's 400-inlier gate
-        (Optimizer.cc:3321) is applied on device at consumption
-        (_icp_factors_device) or on host at VI-BA assembly (_run_vi_ba)."""
+        futures (rot, t, prev, gate); the reference's acceptance test
+        (Optimizer.cc:3299-3310: converged && inliers >= 400 &&
+        error/inliers < 0.01 && delta_dist < 0.1) is applied on device at
+        consumption (_icp_factors_device) or on host at VI-BA assembly."""
         from geoflowslam_tpu.ops import gicp as G
 
-        self._kf_clouds[slot] = (frame.cloud, frame.cloud_valid)
+        # invalidate any leftover registration bound to a recycled slot
+        # BEFORE the early returns below — a stale entry between dead KFs
+        # must never be injected between unrelated new KFs
+        self._kf_icp_rel.pop(slot, None)
+        self._store_kf_cloud(slot, frame)
         self._last_kf_slot = slot
         if prev is None or prev not in self._kf_clouds or prev == slot:
             return
@@ -1200,9 +1228,21 @@ class SlamSystem:
         reg = G.gicp_register(frame.cloud, frame.cloud_valid,
                               pc_prev, pv_prev, init_rot=r0, init_t=t0)
         rr, tr = lie.se3_inverse(reg.rot, reg.t)
-        self._kf_icp_rel[slot] = (rr, tr, prev, reg.n_inliers)
-        if len(self._kf_clouds) > 40:
-            self._kf_clouds.pop(min(self._kf_clouds), None)
+        # device-resident boolean gate (no host sync): the full EdgeICP
+        # acceptance predicate, consumed via jnp.where at factor assembly
+        gate = (reg.converged & (reg.n_inliers >= 400)
+                & (reg.error < 0.01)
+                & (jnp.linalg.norm(reg.t - t0) < 0.1))
+        self._kf_icp_rel[slot] = (rr, tr, prev, gate)
+
+    def _store_kf_cloud(self, slot: int, frame: FrameData):
+        """Keep the most recent 40 KF clouds by INSERTION order (a reused
+        slot re-registers as newest), so a just-stored cloud is never the
+        eviction victim."""
+        self._kf_clouds.pop(slot, None)          # move-to-back on reuse
+        self._kf_clouds[slot] = (frame.cloud, frame.cloud_valid)
+        while len(self._kf_clouds) > 40:
+            self._kf_clouds.pop(next(iter(self._kf_clouds)), None)
 
     def _icp_factors_device(self, slots_p, kw: int):
         """RelPoseFactors for a padded VI window from the lazily-registered
@@ -1217,11 +1257,11 @@ class SlamSystem:
             if rel is not None and rel[2] == int(slots_p[i]):
                 rots.append(jnp.asarray(rel[0]))
                 ts.append(jnp.asarray(rel[1]))
+                # info weight 1e2 as the reference (Optimizer.cc:3313)
                 if len(rel) > 3 and rel[3] is not None:
-                    infos.append(jnp.where(
-                        jnp.asarray(rel[3]) >= 400, 1e3, 0.0))
+                    infos.append(jnp.where(jnp.asarray(rel[3]), 1e2, 0.0))
                 else:        # host-gated entry (slow path): already passed
-                    infos.append(jnp.asarray(1e3, jnp.float32))
+                    infos.append(jnp.asarray(1e2, jnp.float32))
             else:
                 rots.append(jnp.eye(3, dtype=jnp.float32))
                 ts.append(jnp.zeros(3, jnp.float32))
@@ -1231,10 +1271,12 @@ class SlamSystem:
 
     def _register_kf_icp(self, slot: int, frame: FrameData, res: T.TrackResult):
         """Inter-KF GICP for EdgeICP factors (Optimizer.cc:3260-3321: re-run
-        registration between consecutive KFs, gate on 400 inliers)."""
+        registration between consecutive KFs, full acceptance gate
+        converged/400-inlier/error-ratio/delta-dist at :3299-3310)."""
         from geoflowslam_tpu.ops import gicp as G
 
-        self._kf_clouds[slot] = (frame.cloud, frame.cloud_valid)
+        self._kf_icp_rel.pop(slot, None)   # invalidate a recycled slot
+        self._store_kf_cloud(slot, frame)
         prev = self.imu.kf_order[-1] if (self.imu is not None
                                          and self.imu.kf_order) else \
             getattr(self, "_last_kf_slot", None)
@@ -1249,15 +1291,13 @@ class SlamSystem:
         r0, t0 = lie.se3_compose(r_prev, t_prev, ri, ti)
         reg = G.gicp_register(frame.cloud, frame.cloud_valid, pc_prev, pv_prev,
                               init_rot=r0, init_t=t0)
-        if int(reg.n_inliers) < 400:
+        if (int(reg.n_inliers) < 400 or not bool(reg.converged)
+                or float(reg.error) >= 0.01
+                or float(jnp.linalg.norm(reg.t - t0)) >= 0.1):
             return
         # measurement T_rel = T_new<-prev = (T_prev<-new)^-1
         rr, tr = lie.se3_inverse(reg.rot, reg.t)
         self._kf_icp_rel[slot] = (rr, tr, prev)
-        # bound memory: keep only recent clouds
-        if len(self._kf_clouds) > 40:
-            oldest = min(self._kf_clouds)
-            self._kf_clouds.pop(oldest, None)
 
     def _lidar_refine(self, frame: FrameData, res: T.TrackResult):
         """Re-run the pose GN with reprojection + point-to-plane terms."""
@@ -1373,17 +1413,25 @@ class SlamSystem:
         the trajectory parent-chain snapshot (mTcp, System.cc:994+)."""
         gen = self._kf_gen.get(culled_i)
         if gen is not None:
-            prev = int(self.ms.kf_prev[culled_i])
-            if 0 <= prev < self.cfg.k_max and bool(self.ms.kf_valid[prev]):
-                rc = np.asarray(self.ms.kf_rot[culled_i], np.float64)
-                tc = np.asarray(self.ms.kf_t[culled_i], np.float64)
-                rp = np.asarray(self.ms.kf_rot[prev], np.float64)
-                tp = np.asarray(self.ms.kf_t[prev], np.float64)
-                r_cp = rc @ rp.T
-                t_cp = tc - r_cp @ tp
+            # prev/validity from the HOST mirror (no device read: the cull
+            # scalar arrives lag frames after the mapping dispatch, and a
+            # blocking read here would drain the whole device pipeline —
+            # measured as the dominant per-KF cost term on mature maps)
+            prev = self._kf_prev_h.get(culled_i, -1)
+            if 0 <= prev < self.cfg.k_max and self._kf_valid_h[prev]:
+                rel = _culled_rel_pose(self.ms, np.int32(culled_i),
+                                       np.int32(prev))
+                rel.copy_to_host_async()
+                # stored as a device FUTURE; materialized by np.asarray at
+                # trajectory save / scale-rebase time (long matured by then)
                 self._culled_rel[(culled_i, gen)] = (
-                    prev, self._kf_gen.get(prev),
-                    np.concatenate([r_cp, t_cp[:, None]], axis=1))
+                    prev, self._kf_gen.get(prev), rel)
+        # mirror the device-side re-parenting (local_mapping.py:488): the
+        # culled KF's children inherit its parent
+        pv = self._kf_prev_h.pop(culled_i, -1)
+        for k in self._kf_prev_h:
+            if self._kf_prev_h[k] == culled_i:
+                self._kf_prev_h[k] = pv
         if self.loop_closer is not None:
             from geoflowslam_tpu.retrieval import kf_database as DBD
             self.loop_closer.db = DBD.erase_keyframe(
@@ -1439,10 +1487,11 @@ class SlamSystem:
                 rel = self._kf_icp_rel.get(slots_p[i + 1])
                 if rel is not None and rel[2] == slots_p[i]:
                     rots.append(np.asarray(rel[0])); ts.append(np.asarray(rel[1]))
-                    # lazy (fused-path) entries carry the inlier count as a
-                    # device future — apply the 400-inlier gate here
-                    infos.append(1e3 if len(rel) < 4 or rel[3] is None
-                                 or int(np.asarray(rel[3])) >= 400 else 0.0)
+                    # lazy (fused-path) entries carry the acceptance gate as
+                    # a device future — materialize it here (weight 1e2 as
+                    # the reference, Optimizer.cc:3313)
+                    infos.append(1e2 if len(rel) < 4 or rel[3] is None
+                                 or bool(np.asarray(rel[3])) else 0.0)
                 else:
                     rots.append(np.eye(3, dtype=np.float32))
                     ts.append(np.zeros(3, np.float32))
@@ -1461,11 +1510,14 @@ class SlamSystem:
         KF path pick the slot and check capacity without device round trips.
         Resynced from the device after events that relabel slots."""
         if getattr(self, "_mirror_dirty", True):
-            kv, km, am = jax.device_get(
-                (self.ms.kf_valid, self.ms.kf_map_id, self.ms.active_map))
+            kv, km, am, kp = jax.device_get(
+                (self.ms.kf_valid, self.ms.kf_map_id, self.ms.active_map,
+                 self.ms.kf_prev))
             self._kf_valid_h = np.asarray(kv).copy()
             self._kf_map_h = np.asarray(km).copy()
             self._active_map_h = int(am)
+            self._kf_prev_h = {i: int(p) for i, p in enumerate(kp)
+                               if self._kf_valid_h[i]}
             self._mirror_dirty = False
         return self._kf_valid_h, self._kf_map_h, self._active_map_h
 
@@ -1550,6 +1602,7 @@ class SlamSystem:
         self._local_masks = masks
         self.cur_rot, self.cur_t = kf_rot, kf_t
         self.has_vel = False
+        self._kf_prev_h[kf_slot] = int(self.ref_kf)   # temporal parent
         self.ref_kf = kf_slot
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
@@ -1597,6 +1650,7 @@ class SlamSystem:
             jnp.float32(self._t_rel(timestamp)),
             res.obs_mp, jnp.int32(self.ref_kf), self.tcfg)
         self.ms = ms
+        self._kf_prev_h[int(kf_slot)] = int(self.ref_kf)  # temporal parent
         self.ref_kf = int(kf_slot)
         self.ref_kf_inliers = int(res.n_inliers)
         self.frames_since_kf = 0
@@ -1810,7 +1864,7 @@ class SlamSystem:
                 trel2[:, 3] = s * trel2[:, 3]
                 self._traj[i] = (e[0], m, e[2], e[3], trel2)
         for k, (p, pg, tcp) in list(self._culled_rel.items()):
-            t2 = tcp.copy()
+            t2 = np.asarray(tcp, np.float64).copy()   # materialize futures
             t2[:, 3] = s * t2[:, 3]
             self._culled_rel[k] = (p, pg, t2)
 
@@ -1872,6 +1926,7 @@ class SlamSystem:
             hops = 0
             while (ref, gen) in self._culled_rel and hops < 64:
                 prev, pgen, tcp = self._culled_rel[(ref, gen)]
+                tcp = np.asarray(tcp, np.float64)      # materialize future
                 r_cr, t_cr = trel[:, :3], trel[:, 3]
                 r = r_cr @ tcp[:, :3]
                 t = r_cr @ tcp[:, 3] + t_cr
@@ -1912,6 +1967,10 @@ class SlamSystem:
         self.has_vel = False
         self.last_obs_mp = None
         self.last_frame = None           # stale OF/ICP chaining source
+        self._kf_icp_rel.clear()         # EdgeICP factors keyed by dead slots
+        self._kf_prev_h.clear()          # rebuilt on mirror resync
+        self._kf_clouds.clear()
+        self._last_kf_slot = None
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None
@@ -1931,6 +1990,10 @@ class SlamSystem:
         self.has_vel = False
         self.last_obs_mp = None
         self.last_frame = None           # stale OF/ICP chaining source
+        self._kf_icp_rel.clear()         # EdgeICP factors keyed by dead slots
+        self._kf_prev_h.clear()          # rebuilt on mirror resync
+        self._kf_clouds.clear()
+        self._last_kf_slot = None
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None
