@@ -1,25 +1,39 @@
-"""Benchmark: steady-state RGB-D-inertial SLAM on the real TPU.
+"""Benchmark: steady-state RGB-D-inertial SLAM on the real TPU, at scale.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric = the NORTH-STAR operating point (BASELINE.md line 18:
-">=60 FPS RGB-D-inertial tracking + local BA on one TPU v5e core"):
-the full steady-state loop of `SlamSystem.track_rgbd_inertial` at 640x480
-with 1000 ORB features — IMU preintegration, frame build (CLAHE + pyramid +
+">=60 FPS RGB-D-inertial tracking + local BA on one TPU v5e core"): the
+full steady-state loop of `SlamSystem.track_rgbd_inertial` at 640x480 with
+1000 ORB features — IMU preintegration, frame build (CLAHE + pyramid +
 FAST + rBRIEF + depth cloud), motion-model + local-map tracking, VI pose
 refinement, KF insertion at the reference's forced 0.5 s inertial cadence,
-and the amortized per-KF mapping work (triangulation-free RGB-D point
-creation, VI local BA, fusion, culling) — on a GROWING map with loop
-closing ON. Capacities are k_max=128 / m_max=32768 (hours of sequence at
-the 0.5 s KF cadence with culling; half the cold-compile wall of the
-256/64k production default — see the inline note). Wall-clock per frame
+and the amortized per-KF mapping work (VI local BA, fusion, culling) — at
+the PRODUCTION capacities (SystemConfig defaults k_max=256, m_max=65536)
+on a MATURE map with loop closing ON.
+
+Shape of the run (the round-3 verdict asked for the claim to be founded at
+scale, not on a 45-frame window over a 5-KF map):
+  1. maturation: track `n_mature` frames (default 1800 = 60 s) to build a
+     map with ~100 live KFs / tens of thousands of points — equivalent to
+     restoring a mature-session checkpoint, but built in-process because
+     LoadAtlas (like the reference's, System.cc:2102) starts a NEW active
+     map rather than continuing the loaded one;
+  2. timed: the next `n_timed` frames (default 500 = 16.7 s, spanning
+     ~30 KF insertions at the 0.5 s cadence) measured wall-clock,
+     median/p90/sustained-FPS, with the device queue drained before the
+     clock stops.
+
+Frames + IMU are pre-rendered once and cached on disk (the render is
+deterministic); XLA compiles persist in /root/.cache/jax_bench_cache, so
+repeat runs measure steady state, not compiles. Wall-clock per frame
 includes host orchestration, exactly what the reference's ExecTimeMean
-"Total Tracking" measures.
+"Total Tracking" measures (src/Tracking.cc:219-600).
 
 Secondary (stderr): the fused single-dispatch visual hot path FPS.
 
-Runs on the default platform (the tunneled TPU chip); always emits the JSON
-line even on failure.
+Runs on the default platform (the tunneled TPU chip); always emits the
+JSON line even on failure.
 """
 import json
 import os
@@ -34,13 +48,15 @@ def main():
     import jax.numpy as jnp
 
     os.makedirs("/root/.cache/jax_bench_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
-    from geoflowslam_tpu.io.synthetic import SyntheticWorld, SyntheticSequence, Camera
+    from geoflowslam_tpu.io.synthetic import (SyntheticWorld, Camera,
+                                              smooth_trajectory, GRAVITY)
     from geoflowslam_tpu.state.frame import FrameConfig
     from geoflowslam_tpu.ops.extractor import OrbConfig
     from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
@@ -48,10 +64,17 @@ def main():
     from geoflowslam_tpu.pipeline.loop_closing import LoopConfig
     from geoflowslam_tpu.retrieval.vocab import default_vocabulary
     from geoflowslam_tpu.pipeline import tracking as T
-    from geoflowslam_tpu.state import map_state as M
 
     cam = Camera()  # 640x480, fx 400
     fps_in = 30.0
+    imu_rate = 200.0
+    s_max = 32
+    n_mature = int(os.environ.get("GEOFLOW_BENCH_MATURE", 1800))
+    n_timed = int(os.environ.get("GEOFLOW_BENCH_TIMED", 500))
+    budget = float(os.environ.get("GEOFLOW_BENCH_BUDGET", 900.0))
+    t_start = time.time()
+    n_total = n_mature + n_timed
+
     orb = OrbConfig(n_features=1000, n_levels=8, height=cam.height,
                     width=cam.width)
     # sensor-native ingestion, packed for the wire (io/feed_codec "m12":
@@ -60,113 +83,117 @@ def main():
     # the per-frame budget on this tunnel (~35 MB/s), and on deployment
     # links (GigE camera feeds) the same wire format applies
     fc = FrameConfig(orb=orb, lk_levels=4, cloud_stride=4, cloud_max_pts=4096,
-                     depth_map_factor=1e-3, feed_codec="m12")
-    # early IMU init so the warmup fits the compile-budget of this host
+                     depth_map_factor=1.0, feed_codec="m12")
+    # early IMU init so the warmup transient fits this host's budget
     imu = ImuConfig(init_min_kfs=4, init_min_time=0.8)
-    # k=128/m=32k: still hours of sequence at the 0.5 s KF cadence with
-    # culling, but roughly half the (single-core host) compile wall of the
-    # 256/64k default — the bench must finish cold within the driver budget
+    # PRODUCTION capacities (SystemConfig defaults): k_max=256, m_max=65536.
     # Loop closing is ON (the reference's LoopClosing thread always runs,
     # src/LoopClosing.cc:105): the per-KF retrieval/consistency dispatch is
     # inside the measured operating point.
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=40.0,
-                       frame=fc, imu=imu, k_max=128, m_max=32768,
-                       loop=LoopConfig())
+                       frame=fc, imu=imu, loop=LoopConfig())
+    assert cfg.k_max == 256 and cfg.m_max == 65536  # bench == shipped system
 
-    # ---- pre-render the sequence (host-side, excluded from timing) --------
-    # rendered on the CPU backend (the TPU tunnel's per-op dispatch latency
-    # makes eager rendering slow) and cached on disk across bench runs
-    n_warm, n_timed = 60, 45
-    budget = float(os.environ.get("GEOFLOW_BENCH_BUDGET", 900.0))
-    t_start = time.time()
-    n_total = n_warm + n_timed
+    # ---- pre-render + pack the sequence once, cache on disk ---------------
+    # Rendered on the accelerator (eager per-op dispatch on the tunnel is
+    # slow; a jitted render + one small read per frame is ~0.1 s) and saved
+    # packed (u8 m12 wire buffers) + batched IMU.
+    cache = (f"/root/.cache/geoflow_bench_m12_{n_total}_{cam.width}"
+             f"_{fps_in:g}.npz")
     t0 = time.time()
-    cache = f"/root/.cache/geoflow_bench_frames_{n_total}_{cam.width}.npz"
     if os.path.exists(cache):
-        z = np.load(cache)
-        # materialize each member ONCE (npz re-reads the whole array on
-        # every __getitem__ of the lazy file handle)
-        gray_a, depth_a = z["gray"], z["depth"]
-        acc_a, gyro_a, dts_a = z["acc"], z["gyro"], z["dts"]
-        frames = [(gray_a[i], depth_a[i],
-                   acc_a[i] if i > 0 else None,
-                   gyro_a[i] if i > 0 else None,
-                   dts_a[i] if i > 0 else None,
-                   i / fps_in) for i in range(n_total)]
-        print(f"loaded {n_total} cached frames: {time.time()-t0:.1f}s",
+        z = np.load(cache, mmap_mode="r")
+        bufs, acc_a, gyro_a, dts_1 = (z["bufs"], z["acc"], z["gyro"],
+                                      z["dts1"])
+        bufs = np.asarray(bufs)          # materialize once (1.7 GB, fits)
+        acc_a, gyro_a, dts_1 = map(np.asarray, (acc_a, gyro_a, dts_1))
+        print(f"loaded {n_total} cached packed frames: {time.time()-t0:.1f}s",
               file=sys.stderr)
     else:
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            world = SyntheticWorld(cam)
-            seq = SyntheticSequence(world, fps=fps_in)
-            frames = []
-            for i in range(n_total):
-                t = i / fps_in
-                gray, depth, _ = seq.frame(t)
-                if i > 0:
-                    acc, gyro, dts = seq.imu_between((i - 1) / fps_in, t, 32)
-                    acc, gyro, dts = (np.asarray(acc), np.asarray(gyro),
-                                      np.asarray(dts))
-                else:
-                    acc = gyro = dts = None
-                frames.append((np.asarray(gray), np.asarray(depth),
-                               acc, gyro, dts, t))
+        world = SyntheticWorld(cam)
+        ts_all = np.arange(n_total) / fps_in
+        rot_wc_a, p_a, *_ = [np.asarray(x) for x in jax.jit(
+            smooth_trajectory)(jnp.asarray(ts_all))]
+        rot_cw_a = np.swapaxes(rot_wc_a, -1, -2)
+        t_cw_a = -np.einsum("nij,nj->ni", rot_cw_a, p_a)
+        # batched IMU: [N, S] sample times in (t_{i-1}, t_i]
+        dt_imu = 1.0 / imu_rate
+        tgrid = (ts_all[:, None] - 1.0 / fps_in
+                 + (np.arange(s_max)[None, :] + 0.5) * dt_imu)
+        rot_wb, _, _, a_w, w_b = [np.asarray(x) for x in jax.jit(
+            smooth_trajectory)(jnp.asarray(tgrid))]
+        acc_a = np.einsum("nsij,nsj->nsi", np.swapaxes(rot_wb, -1, -2),
+                          a_w - GRAVITY).astype(np.float32)
+        gyro_a = w_b.astype(np.float32)
+        n_per = int(round((1.0 / fps_in) * imu_rate))
+        dts_1 = np.where(np.arange(s_max) < n_per, dt_imu,
+                         0.0).astype(np.float32)
+
+        @jax.jit
+        def render_packed(rot, t):
+            g, d = world.render(rot, t)
+            gq = jnp.clip(jnp.round(g), 0, 255).astype(jnp.uint8)
+            q = jnp.clip(jnp.round(d / 0.004), 0, 4095).astype(jnp.uint32)
+            a, b = q[:, 0::2], q[:, 1::2]
+            p = jnp.stack([a & 0xFF, (a >> 8) | ((b & 0xF) << 4), b >> 4],
+                          -1).astype(jnp.uint8)
+            return jnp.concatenate([gq.reshape(-1), p.reshape(-1)])
+
+        bufs = np.empty((n_total, cam.height * cam.width
+                         + cam.height * (cam.width // 2) * 3), np.uint8)
+        for i in range(n_total):
+            bufs[i] = np.asarray(render_packed(rot_cw_a[i], t_cw_a[i]))
         try:
-            zeros = (np.zeros_like(frames[1][2]), np.zeros_like(frames[1][3]),
-                     np.zeros_like(frames[1][4]))
-            np.savez(cache,
-                     gray=np.stack([f[0] for f in frames]),
-                     depth=np.stack([f[1] for f in frames]),
-                     acc=np.stack([zeros[0]] + [f[2] for f in frames[1:]]),
-                     gyro=np.stack([zeros[1]] + [f[3] for f in frames[1:]]),
-                     dts=np.stack([zeros[2]] + [f[4] for f in frames[1:]]))
+            np.savez(cache + ".tmp.npz", bufs=bufs, acc=acc_a, gyro=gyro_a,
+                     dts1=dts_1)
+            os.replace(cache + ".tmp.npz", cache)
         except Exception as e:
             print(f"frame cache write skipped: {e}", file=sys.stderr)
-        print(f"pre-render {n_total} frames: {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"pre-render+pack {n_total} frames: {time.time()-t0:.1f}s "
+              f"(cached)", file=sys.stderr)
 
-    # sensor-native dtypes packed to the m12 wire format (see FrameConfig):
-    # in deployment the native decode pool packs frames ahead of the
-    # tracking loop (native/frame_loader.cpp decode-ahead), so the pack is
-    # pipeline work, not per-frame latency — prepacked here accordingly
-    from geoflowslam_tpu.io.feed_codec import pack_m12
-    t0 = time.time()
-    frames = [(pack_m12(np.clip(g, 0, 255).astype(np.uint8),
-                        np.clip(d * 1000.0, 0, 65535).astype(np.uint16),
-                        1e-3),
-               None, acc, gyro, dts, t) for (g, d, acc, gyro, dts, t) in frames]
-    print(f"m12 pack {n_total} frames: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # ---- warmup: init + IMU init transient + compile everything -----------
+    # ---- maturation: build the production-scale map -----------------------
     slam = SlamSystem(cfg, vocab=default_vocabulary())
     t0 = time.time()
-    for i, (g, d, acc, gyro, dts, t) in enumerate(frames[:n_warm]):
-        if acc is None:
-            slam.track_rgbd(g, d, t)
+    i_stop = n_mature
+    for i in range(n_mature):
+        t = i / fps_in
+        if i == 0:
+            slam.track_rgbd(bufs[i], None, t)
         else:
-            slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
-        if i % 15 == 0:
-            print(f"  warm {i}: {time.time()-t0:.0f}s "
-                  f"{slam.map_stats()}", file=sys.stderr)
-        if time.time() - t_start > budget:
-            print(f"  warmup over budget at frame {i}; continuing to the "
-                  "timed section with what is compiled", file=sys.stderr)
+            slam.track_rgbd_inertial(bufs[i], None, acc_a[i], gyro_a[i],
+                                     dts_1, t)
+        if i % 300 == 0:
+            print(f"  mature {i}: {time.time()-t0:.0f}s {slam.map_stats()}",
+                  file=sys.stderr)
+        if time.time() - t_start > 0.75 * budget:
+            print(f"  maturation over budget at frame {i}; timing on the "
+                  "map built so far", file=sys.stderr)
+            i_stop = i + 1
             break
     st = slam.map_stats()
-    imu_ok = slam.imu.initialized
-    print(f"warmup {n_warm} frames: {time.time()-t0:.1f}s, map {st}, "
-          f"imu_init={imu_ok}", file=sys.stderr)
+    print(f"maturation {i_stop} frames: {time.time()-t0:.1f}s, map {st}, "
+          f"imu_init={slam.imu.initialized}", file=sys.stderr)
 
-    # ---- timed steady-state loop ------------------------------------------
+    # ---- timed steady-state loop over the mature map ----------------------
     from geoflowslam_tpu.utils.timers import StageTimers
-    slam.timers = StageTimers()         # stage stats for the timed section only
+    slam.timers = StageTimers()        # stage stats for the timed section
     per_frame = []
+    kf_before = slam.ref_kf
+    kf_events = 0
     t0 = time.time()
-    for (g, d, acc, gyro, dts, t) in frames[n_warm:]:
+    for j in range(n_timed):
+        i = i_stop + j
+        if i >= n_total:
+            break
+        t = i / fps_in
         tf = time.time()
-        slam.track_rgbd_inertial(g, d, acc, gyro, dts, t)
+        slam.track_rgbd_inertial(bufs[i], None, acc_a[i], gyro_a[i],
+                                 dts_1, t)
         per_frame.append(time.time() - tf)
+        if slam.ref_kf != kf_before:
+            kf_before = slam.ref_kf
+            kf_events += 1
     # SUSTAINED throughput: drain the device queue before stopping the
     # clock — dispatch is async, so without this the loop only measures
     # host dispatch rate while the device queue absorbs the burst. The
@@ -175,6 +202,7 @@ def main():
     # while a read genuinely waits for its value.
     _ = np.asarray(slam.cur_t)
     dt = time.time() - t0
+    n_run = len(per_frame)
     pf = np.asarray(per_frame) * 1000
     print(f"per-frame ms: median {np.median(pf):.1f}, p90 "
           f"{np.percentile(pf, 90):.1f}, max {pf.max():.1f}", file=sys.stderr)
@@ -190,11 +218,12 @@ def main():
     fps_dispatch = 1000.0 / float(steady.mean()) if len(steady) else 0.0
     # headline = sustained wall-clock rate incl. the device-queue drain
     # (min of dispatch rate and device compute rate)
-    fps = n_timed / dt
-    print(f"dispatch-rate: {fps_dispatch:.1f} FPS", file=sys.stderr)
+    fps = n_run / dt if dt > 0 else 0.0
     st = slam.map_stats()
-    print(f"steady-state: {n_timed} frames in {dt:.3f}s -> {fps:.1f} FPS "
-          f"({1000*dt/n_timed:.2f} ms/frame), map {st}", file=sys.stderr)
+    print(f"dispatch-rate: {fps_dispatch:.1f} FPS", file=sys.stderr)
+    print(f"steady-state: {n_run} frames in {dt:.3f}s -> {fps:.1f} FPS "
+          f"({1000*dt/max(n_run,1):.2f} ms/frame), {kf_events} KF events, "
+          f"map {st}", file=sys.stderr)
     for line in slam.timers.summary_lines():
         print("  " + line, file=sys.stderr)
 
@@ -202,17 +231,18 @@ def main():
     try:
         tcfg = cfg.track_cfg()
         ms = slam.ms
-        g, d = frames[-2][0], frames[-2][1]
         masks = slam._local_window_fn(ms, jnp.int32(slam.ref_kf))
-        args = (jnp.asarray(g), jnp.zeros((1, 1), jnp.float32), ms,
-                slam.last_obs_mp, slam.cur_rot, slam.cur_t,
+        args = (jnp.asarray(bufs[i_stop]), jnp.zeros((1, 1), jnp.float32),
+                ms, slam.last_obs_mp, slam.cur_rot, slam.cur_t,
                 jnp.int32(slam.ref_kf))
-        _, r, _ = T.fused_track_step(*args, tcfg, fc, local_masks=masks)
+        _, r, _ = T.fused_track_step(*args, tcfg, cfg.frame,
+                                     local_masks=masks)
         _ = np.asarray(r.t)         # genuine sync (block_until_ready is a
         t0 = time.time()            # no-op on the axon tunnel)
         n_hot = 50
         for _ in range(n_hot):
-            _, r, _ = T.fused_track_step(*args, tcfg, fc, local_masks=masks)
+            _, r, _ = T.fused_track_step(*args, tcfg, cfg.frame,
+                                         local_masks=masks)
         _ = np.asarray(r.t)
         hot = n_hot / (time.time() - t0)
         print(f"hot-path (fused visual track): {hot:.1f} FPS "
@@ -222,10 +252,17 @@ def main():
 
     baseline_fps = 60.0
     print(json.dumps({
-        "metric": "rgbd_inertial_slam_fps_640x480_1000feat",
+        "metric": "rgbd_inertial_slam_fps_640x480_1000feat_mature_map",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "detail": {
+            "timed_frames": n_run, "kf_events": kf_events,
+            "median_ms": round(float(np.median(pf)), 2) if n_run else 0.0,
+            "p90_ms": round(float(np.percentile(pf, 90)), 2) if n_run else 0.0,
+            "k_max": cfg.k_max, "m_max": cfg.m_max,
+            "map": st,
+        },
     }))
 
 
@@ -236,7 +273,7 @@ if __name__ == "__main__":
         import traceback
         traceback.print_exc()
         print(json.dumps({
-            "metric": "rgbd_inertial_slam_fps_640x480_1000feat",
+            "metric": "rgbd_inertial_slam_fps_640x480_1000feat_mature_map",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,

@@ -47,6 +47,11 @@ def main():
                     help="enable the GICP pose predictor + inter-KF EdgeICP "
                          "(UseICP; fused into the fast path, lazy KF "
                          "registration)")
+    ap.add_argument("--lidar", action="store_true",
+                    help="enable the lidar point-to-plane joint refinement "
+                         "against the sliding local cloud map "
+                         "(UsePointCloudObs; fused into the fast path). "
+                         "The flagship G1 combo is --of --icp --lidar")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +102,8 @@ def main():
         extra["use_of"] = True
     if args.icp:
         extra["use_icp"] = True
+    if args.lidar:
+        extra["use_lidar"] = True
     cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                        bf=cam.fx * 0.1, frame=fc, imu=imu, loop=loop_cfg,
                        sensor="mono" if args.mode == "mono" else "rgbd",

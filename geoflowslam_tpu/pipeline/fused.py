@@ -83,7 +83,8 @@ def _tree_where(c, a, b):
 
 @partial(jax.jit, static_argnames=("cfg", "fcfg", "imu_mode", "min_inliers",
                                    "use_of", "use_icp", "icp_method",
-                                   "icp_min_inliers", "n_of_slots", "ofcfg"))
+                                   "icp_min_inliers", "n_of_slots", "ofcfg",
+                                   "use_lidar", "lidar_cfg"))
 def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                vel_rot, vel_t, use_vel, cur_rot, cur_t, ref_kf, local_masks,
                acc, gyro, dts, body, bias, prior_info, r_cb, t_cb, calib,
@@ -91,7 +92,8 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                pkt_window=None, seq=None, last_frame=None,
                use_of: bool = False, use_icp: bool = False,
                icp_method: str = "gicp", icp_min_inliers: int = 200,
-               n_of_slots: int = 0, ofcfg=None):
+               n_of_slots: int = 0, ofcfg=None,
+               use_lidar: bool = False, lidar_map=None, lidar_cfg=None):
     """One fused frame. imu_mode:
       "off"   — visual only (acc/gyro/body/... may be None)
       "raw"   — IMU present but uninitialized: preintegrate only
@@ -172,6 +174,34 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     ms2, res2 = T.track_local_map.__wrapped__(
         ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg,
         local_masks=local_masks)
+
+    # ---- lidar point-to-plane joint refine (PoseLidarVisualOptimization,
+    # /root/reference/src/Optimizer.cc:8338-8421: reprojection +
+    # EdgeLidarPoint2Plane factors against the sliding local cloud map) ----
+    # Fused like OF/ICP: an empty local map yields zero valid plane factors,
+    # so the stage is self-gating on device — the flagship G1 combo
+    # (OF + ICP + lidar, g1_op_icp_lidar_indoor1.yaml) stays one dispatch.
+    if use_lidar and lidar_map is not None and frame.cloud is not None:
+        from geoflowslam_tpu.pipeline import lidar_mapping as LD
+        pl = LD.make_plane_obs.__wrapped__(
+            lidar_map, frame.cloud, frame.cloud_valid, res2.rot, res2.t,
+            lidar_cfg)
+        has_l = res2.obs_mp >= 0
+        mp_l = jnp.maximum(res2.obs_mp, 0)
+        feat_l = frame.feat
+        val_l = has_l & ms2.mp_valid[mp_l] & feat_l.valid
+        obs_l = PO.PoseObs(
+            pts_w=ms2.mp_pos[mp_l], uv=feat_l.uv, u_right=frame.u_right,
+            is_stereo=val_l & (frame.u_right > 0),
+            inv_sigma2=1.0 / (cfg.scale_factor
+                              ** feat_l.level.astype(jnp.float32)) ** 2,
+            valid=val_l)
+        rot_l, t_l, inl_l, n_l = PO.pose_optimization(
+            res2.rot, res2.t, obs_l, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+            cfg.bf, plane_obs=pl, rounds=2, iters_per_round=5)
+        res2 = T.TrackResult(rot=rot_l, t=t_l,
+                             obs_mp=jnp.where(inl_l, res2.obs_mp, -1),
+                             n_inliers=n_l)
 
     # ---- VI refinement + acceptance --------------------------------------
     rot_f, t_f, obs_f = res2.rot, res2.t, res2.obs_mp

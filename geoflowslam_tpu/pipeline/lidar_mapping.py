@@ -116,6 +116,7 @@ class GlobalMap:
     def __init__(self, cfg: LidarConfig = LidarConfig()):
         self.cfg = cfg
         self.chunks = []
+        self._lazy = []          # device futures from the fused KF path
 
     def add(self, cloud_c, cloud_valid, rot_cw, t_cw):
         r = np.asarray(rot_cw)
@@ -123,7 +124,21 @@ class GlobalMap:
         pts = np.asarray(cloud_c)[np.asarray(cloud_valid)]
         self.chunks.append(pts @ r + (-r.T @ t))
 
+    def add_lazy(self, cloud_c, cloud_valid, rot_cw, t_cw):
+        """Fused-path variant: store device futures (no host sync on the
+        frame path); materialized in points()/save_pcd at export time."""
+        for a in (cloud_c, cloud_valid, rot_cw, t_cw):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        self._lazy.append((cloud_c, cloud_valid, rot_cw, t_cw))
+
+    def _drain_lazy(self):
+        for (c, v, r, t) in self._lazy:
+            self.add(c, v, r, t)
+        self._lazy = []
+
     def points(self) -> np.ndarray:
+        self._drain_lazy()
         if not self.chunks:
             return np.zeros((0, 3), np.float32)
         allp = np.concatenate(self.chunks, axis=0)

@@ -42,9 +42,10 @@ class OFConfig:
     lk_iters: int = 10
     levels_3d: int = 3           # prior stream: fine levels only
     levels_2d: int = 6           # 2D stream: full pyramid (capped by frame)
-    fb_thresh: float = 1.0
+    fb_thresh: float = 0.5       # max_fbklt_dist (ORBmatcher.cc:2380) —
+                                 # BOTH streams are forward-backward gated
     f_ransac_hyp: int = 64
-    f_sigma: float = 1.0
+    f_sigma: float = 1.0         # 3D stream; 2D uses 0.5x (:2466)
     mask_radius: float = 8.0     # MASK_THRESHOLD spatial dedup
     min_eig: float = 1e-4
 
@@ -74,9 +75,14 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
     uv_proj, z, in_img = _project(pred_rot, pred_t, ms.mp_pos[mp_idx], cfg)
     guess = jnp.where((mp_ok & in_img)[:, None], uv_proj, lf.uv)
 
-    r3 = K.klt_track(pyr_prev, pyr_next, lf.uv, guess,
-                     win=ofcfg.lk_win, iters=ofcfg.lk_iters,
-                     min_eig=ofcfg.min_eig, max_levels=lv3)
+    # forward-backward gated like the reference's fbKltTracking call for
+    # the prior stream (ORBmatcher.cc:2383-2386, max_fbklt_dist=0.5): a
+    # plain forward LK lets drifting tracks carry their MAP-POINT binding
+    # into the pose solve — measured as an ATE regression, not a rescue
+    r3 = K.fb_klt_track(pyr_prev, pyr_next, lf.uv, guess,
+                        fb_thresh=ofcfg.fb_thresh, win=ofcfg.lk_win,
+                        iters=ofcfg.lk_iters, min_eig=ofcfg.min_eig,
+                        max_levels=lv3)
     ok3 = r3.status & mp_ok & lf.valid
 
     k1, k2 = jax.random.split(key)
@@ -91,9 +97,11 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
                         iters=ofcfg.lk_iters, min_eig=ofcfg.min_eig,
                         max_levels=lv2)
     ok2 = r2.status & lf.valid & ~ok3          # 3D stream takes precedence
+    # tighter F gate for descriptor-less 2D tracks (F_THRESHOLD*0.5,
+    # ORBmatcher.cc:2466)
     fres2 = ransac.ransac_fundamental(k2, lf.uv, r2.pts, ok2,
                                       n_hyp=ofcfg.f_ransac_hyp,
-                                      sigma=ofcfg.f_sigma)
+                                      sigma=0.5 * ofcfg.f_sigma)
     ok2 = ok2 & fres2.inliers
 
     # ----- spatial dedup mask (isPointNearby over a coarse grid) ----------
@@ -130,7 +138,14 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
     slot_idx = jnp.arange(n_base, n_base + n_slots)
     feat = cf
     uv_full = feat.uv.at[slot_idx].set(new_uv)
-    desc_full = feat.desc.at[slot_idx].set(lf.desc[order])
+    # descriptors: 3D-stream points inherit the MAP POINT's distinctive
+    # descriptor (Frame::AddPts copies mp->GetDescriptor(), Frame.cc:634);
+    # 2D-stream points keep the persistent track descriptor from the last
+    # frame — a fresher source than re-BRIEFing a drifting patch
+    desc_src = jnp.where(src_ok3[:, None],
+                         ms.mp_desc[mp_idx[order]].astype(lf.desc.dtype),
+                         lf.desc[order])
+    desc_full = feat.desc.at[slot_idx].set(desc_src)
     angle_full = feat.angle.at[slot_idx].set(lf.angle[order])
     level_full = feat.level.at[slot_idx].set(lf.level[order])
     resp_full = feat.response.at[slot_idx].set(lf.response[order])

@@ -419,15 +419,14 @@ class SlamSystem:
     def _can_fuse(self) -> bool:
         """Use the single-dispatch production step (pipeline/fused.py) when
         tracking is healthy. The GeoFlow robustness stages (OF dual-stream,
-        GICP/NDT predictor) are FUSED into the same dispatch when enabled —
-        they just need the previous frame chained on device (set by both
-        the staged and fused paths); lidar point-to-plane refinement still
-        interleaves host state and stays staged."""
+        GICP/NDT predictor, lidar point-to-plane refinement) are FUSED into
+        the same dispatch when enabled — OF/ICP need the previous frame
+        chained on device; lidar reads the device-resident sliding local
+        map (inserted per-KF, self-gating while empty)."""
         if (self.cfg.use_of or self.cfg.use_icp) \
                 and getattr(self, "last_frame", None) is None:
             return False
         return (self.state == TrackingState.OK
-                and not self.cfg.use_lidar
                 and not self.cfg.record_reproj_err
                 and not getattr(self, "_localization_only", False)
                 and self.last_obs_mp is not None)
@@ -500,7 +499,10 @@ class SlamSystem:
                 use_of=self.cfg.use_of, use_icp=self.cfg.use_icp,
                 icp_method=self.cfg.icp_method,
                 icp_min_inliers=self.cfg.icp_min_inliers,
-                n_of_slots=self.cfg.frame.n_of_slots)
+                n_of_slots=self.cfg.frame.n_of_slots,
+                use_lidar=self.cfg.use_lidar,
+                lidar_map=self.lidar_map if self.cfg.use_lidar else None,
+                lidar_cfg=self._lidar_cfg if self.cfg.use_lidar else None)
 
         if mode != "off":
             imu._chunks.append((acc, gyro, dts, timestamp))  # pending KF segment
@@ -1602,6 +1604,18 @@ class SlamSystem:
         self._local_masks = masks
         self.cur_rot, self.cur_t = kf_rot, kf_t
         self.has_vel = False
+        if (self.cfg.use_lidar and self.lidar_map is not None
+                and frame.cloud is not None):
+            # sliding local cloud map insert (LidarMapping.cc:72-80) as one
+            # more async dispatch; the global map keeps device futures
+            from geoflowslam_tpu.pipeline import lidar_mapping as LD
+            oldest = max(kf_slot - self._lidar_cfg.window_kfs, 0)
+            self.lidar_map = LD.insert_kf_cloud(
+                self.lidar_map, frame.cloud, frame.cloud_valid,
+                kf_rot, kf_t, jnp.int32(kf_slot), jnp.int32(oldest),
+                self._lidar_cfg)
+            self.global_map.add_lazy(frame.cloud, frame.cloud_valid,
+                                     kf_rot, kf_t)
         self._kf_prev_h[kf_slot] = int(self.ref_kf)   # temporal parent
         self.ref_kf = kf_slot
         self.ref_kf_inliers = int(res.n_inliers)
@@ -1971,6 +1985,9 @@ class SlamSystem:
         self._kf_prev_h.clear()          # rebuilt on mirror resync
         self._kf_clouds.clear()
         self._last_kf_slot = None
+        if self.lidar_map is not None:  # stale world-frame planes of the
+            from geoflowslam_tpu.pipeline import lidar_mapping as LD
+            self.lidar_map = LD.create_local_map(self._lidar_cfg)  # dead map
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None
@@ -1994,6 +2011,9 @@ class SlamSystem:
         self._kf_prev_h.clear()          # rebuilt on mirror resync
         self._kf_clouds.clear()
         self._last_kf_slot = None
+        if self.lidar_map is not None:  # stale world-frame planes of the
+            from geoflowslam_tpu.pipeline import lidar_mapping as LD
+            self.lidar_map = LD.create_local_map(self._lidar_cfg)  # dead map
         self._vi_prior = None
         self._local_masks = None
         self._pending_init_frame = None

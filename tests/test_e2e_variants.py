@@ -82,6 +82,23 @@ def test_lidar_tracking():
 
 
 @pytest.mark.slow
+def test_g1_of_icp_lidar_fused():
+    """The flagship G1 switch combo — OF dual-stream + GICP predictor +
+    lidar point-to-plane — all three FUSED in one frame dispatch
+    (g1_op_icp_lidar_indoor1.yaml; plane factors src/Optimizer.cc:8338-8421).
+    Asserts the fast path was actually taken (use_lidar no longer
+    disqualifies _can_fuse) and accuracy holds."""
+    slam, gt = run_variant(use_of=True, n_of_slots=256, use_icp=True,
+                           icp_min_inliers=100, use_lidar=True)
+    stats = slam.map_stats()
+    assert stats["state"] == "OK", stats
+    assert slam._can_fuse(), "G1 combo fell back to the staged path"
+    m = ate_rmse(slam.trajectory, gt)
+    assert m["ate_rmse"] < 0.05, m
+    assert len(slam.global_map.points()) > 500
+
+
+@pytest.mark.slow
 def test_icp_inertial_edgeicp():
     """The flagship G1 combo: RGB-D + IMU + ICP (EdgeICP factors in VI-BA)."""
     from geoflowslam_tpu.pipeline.inertial import ImuConfig

@@ -22,14 +22,14 @@ MATRIX = os.path.join(HERE, "results_hard", "matrix.json")
 # cold compile cache). Mono is Sim3-aligned (scale-free); inertial modes
 # must hold metric scale.
 #
-# KNOWN LIMITATION (documented in PARITY.md): the pure-visual rgbd cells
-# run the hard sequence with the GeoFlow robustness switches (UseOpticalFlow
-# / UseICP) OFF — those paths exist but are excluded from the fused
-# single-dispatch fast path, and the hard sequence's rotation bursts +
-# texture-poor segments cost the visual-only tracker map resets (3 maps,
-# ATE in meters). The inertial cells are the flagship operating point.
-# Tightening the rgbd gates by fusing OF/ICP into the fast path is the
-# round-4 queue.
+# The plain `rgbd`/`rgbd_loop` cells run the hard sequence with the GeoFlow
+# robustness switches (UseOpticalFlow / UseICP) deliberately OFF — they are
+# the documented-failure baseline (map resets, meter-scale ATE) that the
+# paper's contribution exists to fix. The `rgbd_of_icp*` cells run the SAME
+# sequence with both switches ON — dual-stream OF + GICP predictor, fused
+# into the single-dispatch fast path (pipeline/fused.py:103-165) — and are
+# gated tight: the committed matrix is the standing proof of the rescue
+# delta (reference ablations: tum_icp_op.yaml vs tum_no_icp_op.yaml).
 ATE_GATE = {
     "rgbd": 3.5, "rgbd_loop": 3.5,
     "rgbd_inertial": 0.40, "rgbd_inertial_loop": 0.10,

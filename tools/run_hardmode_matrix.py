@@ -39,11 +39,17 @@ PLANNED = [
     "rgbd_inertial", "rgbd_inertial_loop",
     "mono", "mono_loop",
     "rgbd_of_icp", "rgbd_of_icp_loop",
+    # the flagship G1 combo: OF + ICP + lidar point-to-plane together
+    # (g1_op_icp_lidar_indoor1.yaml; factors src/Optimizer.cc:8338-8421)
+    "rgbd_of_icp_lidar",
 ]
 
 
 def cell_cmd(tag: str, frames: int, out_dir: str):
     base = tag
+    lidar = base.endswith("_lidar")
+    if lidar:
+        base = base[: -len("_lidar")]
     loop = base.endswith("_loop")
     if loop:
         base = base[: -len("_loop")]
@@ -57,6 +63,8 @@ def cell_cmd(tag: str, frames: int, out_dir: str):
         cmd.append("--loop")
     if robust:
         cmd += ["--of", "--icp"]
+    if lidar:
+        cmd.append("--lidar")
     return cmd
 
 
