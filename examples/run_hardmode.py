@@ -11,6 +11,7 @@ flatness — the VERDICT round-2 acceptance run.
         [--frames 2000] [--out results_hard]
 """
 import argparse
+import json
 import os
 import sys
 import time
@@ -200,6 +201,11 @@ def main():
     gt = []
     kf_costs = []
     ref_before = -1
+    # per-frame diagnostic sidecar: wall time, host tracking state, lost
+    # counter — pinpoints recovery storms (state flips + n_lost jumps) and
+    # slow frames without touching the timed loop's device traffic
+    diag = []
+    prev_state = None
     t_start = time.time()
     for i in range(args.frames):
         ts = ts_all[i]
@@ -229,6 +235,13 @@ def main():
                     feat_uv=lf.feat.uv if lf is not None else None,
                     feat_valid=lf.feat.valid if lf is not None else None,
                     obs_mp=slam.last_obs_mp, title=f"t={ts:.1f}s")
+        st_now = slam.state.name
+        diag.append((i, round(tk, 4), st_now, slam.n_lost))
+        if st_now != prev_state:
+            print(f"  [diag] frame {i} (t={ts:.2f}s): state -> {st_now} "
+                  f"(n_lost={slam.n_lost}, {tk*1000:.0f} ms)",
+                  file=sys.stderr)
+            prev_state = st_now
         twc = np.eye(4)
         twc[:3, :3] = rot_wc_a[i]
         twc[:3, 3] = p_a[i]
@@ -257,11 +270,16 @@ def main():
     print(f"per-KF cost: early {early*1000:.1f} ms, late {late*1000:.1f} ms "
           f"(flat = no O(K) growth)")
     os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "frames_diag.jsonl"), "w") as f:
+        for row in diag:
+            f.write(json.dumps(row) + "\n")
+    with open(os.path.join(args.out, "inliers_diag.jsonl"), "w") as f:
+        for row in slam.inlier_log:
+            f.write(json.dumps(row) + "\n")
     if viewer is not None:
         gif = viewer.finish()
         print(f"viewer: {viewer.n} frames" + (f" -> {gif}" if gif else ""))
     slam.shutdown(args.out)
-    import json
     with open(os.path.join(args.out, "hardmode.json"), "w") as f:
         json.dump({"mode": args.mode, "frames": args.frames,
                    "of": args.of, "icp": args.icp,

@@ -55,9 +55,10 @@ class FusedOut(NamedTuple):
                              # the reference's mlRelativeFramePoses
                              # (SaveTrajectoryTUM rebasing, System.cc:994+)
     bias_out: Optional[jnp.ndarray]  # [6] updated (bg, ba) in imu modes
-    host_pkt: jnp.ndarray    # [34] f32: scalars(4) + twc(12) + trel(12) +
-                             # bias(6) packed into ONE array (kept for the
-                             # flush path and tests)
+    host_pkt: jnp.ndarray    # [35] f32: scalars(4) + twc(12) + trel(12) +
+                             # bias(6) + aux(1: ICP-carried flag) packed
+                             # into ONE array (kept for the flush path and
+                             # tests)
     of_counts: object        # [2] int32 (n_3d, n_2d) appended OF points,
                              # or None when the OF stage is off (a None
                              # leaf keeps non-OF HLO byte-identical)
@@ -72,7 +73,9 @@ class FusedOut(NamedTuple):
 
 
 PKT_WINDOW = 64     # ring rows; must exceed frames-per-read on the tunnel
-PKT_ROW = 35        # 1 seq + 4 scalars + 12 twc + 12 trel + 6 bias
+PKT_ROW = 36        # 1 seq + 4 scalars + 12 twc + 12 trel + 6 bias + 1 aux
+                    # aux: 1.0 when the frame was ICP-carried (registration
+                    # held the pose through a visual-inlier collapse)
 
 
 def _tree_where(c, a, b):
@@ -135,6 +138,7 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     frame = build_frame(gray, depth, fcfg, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
 
     # ---- GICP/NDT pose predictor (PredictStateICP, Tracking.cc:3365) -----
+    icp_held = jnp.zeros((), bool)   # registration converged this frame
     if use_icp and last_frame is not None and frame.cloud is not None:
         from geoflowslam_tpu.ops import gicp as G
         # init: T_lc = T_lw ∘ T_cw_pred^-1 (cur_* is the last frame's pose)
@@ -152,6 +156,7 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
         r_icp, t_icp = lie.se3_compose(rri, rti, cur_rot, cur_t)
         pr = jnp.where(icp_ok, r_icp, pr)
         pt = jnp.where(icp_ok, t_icp, pt)
+        icp_held = icp_ok
 
     # ---- dual-stream OF append (SearchByProjectionWithOF) ----------------
     # of_counts stays None unless the OF stage runs: a None leaf adds no HLO
@@ -268,6 +273,14 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     n_eff = jnp.where(accept, n_vi, res2.n_inliers) \
         if imu_mode in ("kf", "prior") else res2.n_inliers
     ok_frame = n_eff >= min_inliers
+    # ICP-carried frame (TrackWithMotionModelICP, Tracking.cc:3576-3623):
+    # visual inliers collapsed but the depth registration converged — the
+    # ICP-predicted pose (already in pr/pt) IS the track. Flagged to the
+    # host via the packet's aux slot so it keeps state OK instead of
+    # entering staged recovery (on the tunnel each staged frame costs
+    # seconds of blocking reads; the reference rides ICP through texture
+    # loss without ever going RECENTLY_LOST).
+    carried = icp_held & ~ok_frame
     rot_f = jnp.where(ok_frame, rot_f, pr)
     t_f = jnp.where(ok_frame, t_f, pt)
     obs_f = jnp.where(ok_frame, obs_f, last_obs_mp)
@@ -282,9 +295,9 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     lri, lti = lie.se3_inverse(cur_rot, cur_t)
     nvr, nvt = lie.se3_compose(rot_f, t_f, lri, lti)
     # on failure keep the previous motion model (don't learn from a
-    # predicted-only delta)
-    nvr = jnp.where(ok_frame, nvr, vel_rot)
-    nvt = jnp.where(ok_frame, nvt, vel_t)
+    # predicted-only delta) — unless ICP measured the delta (carried)
+    nvr = jnp.where(ok_frame | carried, nvr, vel_rot)
+    nvt = jnp.where(ok_frame | carried, nvt, vel_t)
 
     rwc = rot_f.T
     twc = jnp.concatenate([rwc, (-(rwc @ t_f))[:, None]], axis=1)
@@ -300,7 +313,8 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                          accept.astype(jnp.int32)])
     host_pkt = jnp.concatenate([
         scalars.astype(jnp.float32), twc.reshape(-1), trel.reshape(-1),
-        bias_out if bias_out is not None else jnp.zeros(6)])
+        bias_out if bias_out is not None else jnp.zeros(6),
+        carried.astype(jnp.float32).reshape(1)])
     if pkt_window is None:
         win = jnp.zeros((PKT_WINDOW, PKT_ROW), jnp.float32)
         seq = jnp.zeros((), jnp.float32)

@@ -174,6 +174,7 @@ class SlamSystem:
         self.lost_since: Optional[float] = None
         self.n_frames = 0
         self.n_lost = 0
+        self.inlier_log = []           # (t, n_mm, n_lm, n_vi) diagnostics
         self._last_kf_time = 0.0
 
         # trajectory store: legacy entries (t, Twc 4x4 | device future) from
@@ -658,11 +659,35 @@ class SlamSystem:
         twc34 = pkt[4:16].reshape(3, 4)
         trel34 = pkt[16:28].reshape(3, 4)
         n1, n2, n_vi, vi_ok = (int(x) for x in sc)
+        # host-side diagnostic ring: per-frame inlier counts as read from
+        # the matured packets (free — no extra device traffic)
+        self.inlier_log.append((round(timestamp, 4), n1, n2, n_vi))
+        if len(self.inlier_log) > 4096:
+            del self.inlier_log[:2048]
         if mode != "off" and out.bias_out is not None and imu is not None:
             imu.bias_host = pkt[28:34].astype(np.float32)
         n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
 
         if n_final < self.cfg.min_inliers_ok:
+            # ICP-carried frame (TrackWithMotionModelICP semantics,
+            # /root/reference/src/Tracking.cc:3576-3623): the depth
+            # registration converged and holds the pose chain through the
+            # visual-inlier collapse (blank wall / texture loss). The
+            # reference stays mState==OK in this regime; entering staged
+            # recovery here would cost seconds of blocking tunnel reads
+            # PER FRAME and eventually reset the map. No KF decision (no
+            # fresh visual bindings to anchor one) and no GBA step.
+            if len(pkt) > 34 and pkt[34] > 0.5:
+                self.state = TrackingState.OK
+                self.lost_since = None
+                self.frames_since_kf += 1
+                twc = np.eye(4)
+                twc[:3, :4] = np.asarray(twc34, np.float64)
+                self._traj.append((timestamp, twc, ent["ref_kf"],
+                                   ent["gen"], np.asarray(trel34,
+                                                          np.float64)))
+                self._last_pose_wc = twc
+                return
             # run the staged recovery on this frame from the CURRENT map
             # (KFs inserted by pipelined processing stay; only this frame's
             # counter updates linger — younger pipelined results are dropped,
@@ -1051,6 +1076,7 @@ class SlamSystem:
                 self._vi_prior = None
 
         self.debug_inliers = (n1, n2)
+        self.inlier_log.append((round(timestamp, 4), n1, n2, -2))  # staged
         if self.cfg.record_reproj_err:
             e1 = T.mean_reproj_error(self.ms, frame, res.obs_mp, res.rot,
                                      res.t, self.tcfg)
@@ -1072,6 +1098,23 @@ class SlamSystem:
             self.frames_since_kf += 1
             if self._need_new_keyframe(frame, n2, timestamp):
                 self._insert_keyframe(frame, timestamp, res2)
+        elif self._icp_prior is not None:
+            # ICP-carried (TrackWithMotionModelICP, Tracking.cc:3576-3623):
+            # visual inliers collapsed but the frame-to-frame registration
+            # converged — ride the ICP-predicted pose with state OK, learn
+            # the measured delta into the motion model, leave the map and
+            # bindings untouched (staged analogue of the fused path's
+            # `carried` flag).
+            self.state = TrackingState.OK
+            self.lost_since = None
+            lri, lti = lie.se3_inverse(last_rot, last_t)
+            self.cur_rot, self.cur_t = pr, pt
+            self.vel = lie.se3_compose(pr, pt, lri, lti)
+            self.has_vel = True
+            self.frames_since_kf += 1
+            if self.imu is not None and self.imu.initialized \
+                    and self.imu.body is not None:
+                self.imu.body = self.imu.body_from_cam(pr, pt)
         else:
             self.n_lost += 1
             self.has_vel = False
@@ -2066,6 +2109,11 @@ class SlamSystem:
         save_trajectory_tum(
             os.path.join(save_dir, "KeyFrameTrajectory.txt"),
             keyframe_trajectory(self.ms, time_base=self.time_base or 0.0))
+        # interactive 3D map view (the Pangolin Viewer's pan/rotate role,
+        # src/Viewer.cc:159, rendered headless: self-contained HTML)
+        from geoflowslam_tpu.viewer.html_export import export_html
+        export_html(self.ms, self.trajectory, self.cur_rot, self.cur_t,
+                    path=os.path.join(save_dir, "map.html"))
         for name, rows in (("Frame2FrameReprojErr.txt", self.f2f_reproj),
                            ("Frame2MapReprojErr.txt", self.f2m_reproj)):
             if rows:

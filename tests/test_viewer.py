@@ -49,3 +49,19 @@ def test_snapshot_viewer(tmp_path):
     v = Viewer(str(tmp_path))
     p1 = v.draw_map(ms, cur_rot=np.eye(3), cur_t=np.zeros(3))
     assert os.path.exists(p1) and os.path.getsize(p1) > 0
+
+
+def test_interactive_html_export(tmp_path):
+    """map.html: self-contained interactive 3D view (the Pangolin viewer's
+    pan/rotate role, headless). Must embed the map content + the renderer
+    with no external resources."""
+    from geoflowslam_tpu.viewer.html_export import export_html
+    ms = _mini_map()
+    traj = [(float(i), np.eye(4)) for i in range(5)]
+    p = export_html(ms, traj, np.eye(3), np.zeros(3),
+                    path=str(tmp_path / "map.html"))
+    html = open(p).read()
+    assert "<canvas" in html and "addEventListener" in html
+    assert '"points":' in html and '"keyframes":' in html
+    assert html.count("[-1.0,") + html.count("[-1,") >= 1   # map data present
+    assert "http://" not in html and "https://" not in html  # no deps
