@@ -110,6 +110,44 @@ def _count_projection_matches(ms: M.MapState, cur, cand, s, rot, t, cfg):
     return jnp.sum(m_idx >= 0).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("fix_scale", "cfg"))
+def _verify_sim3_fused(ms: M.MapState, cur, cand, key, fix_scale: bool, cfg):
+    """ONE-dispatch geometric verification of a matured loop candidate:
+    map-point descriptor matching -> Sim3 RANSAC (Sim3Solver) -> GN
+    refinement (OptimizeSim3) -> guided-projection count
+    (FindMatchesByProjection), /root/reference/src/LoopClosing.cc:353-969.
+
+    Returns (scalars [3] int32 = [n_ransac_inl, n_opt_inl, n_proj], s, R, t)
+    so the host gates on one small read instead of an eager op-by-op chain
+    with a blocking read per stage."""
+    m_idx, _ = matching.match_descriptors(
+        ms.kf_desc[cur], ms.kf_kp_valid[cur] & (ms.kf_obs_mp[cur] >= 0),
+        ms.kf_desc[cand], ms.kf_kp_valid[cand] & (ms.kf_obs_mp[cand] >= 0),
+        max_dist=matching.TH_LOW, ratio=0.85, mutual=True)
+
+    mp1 = ms.kf_obs_mp[cur]
+    mp2 = ms.kf_obs_mp[cand][jnp.maximum(m_idx, 0)]
+    valid = (m_idx >= 0) & (mp1 >= 0) & (mp2 >= 0)
+    p1w = ms.mp_pos[jnp.maximum(mp1, 0)]
+    p2w = ms.mp_pos[jnp.maximum(mp2, 0)]
+    # to camera coords of each KF (Sim3Solver works in camera frames)
+    p1c = p1w @ ms.kf_rot[cur].T + ms.kf_t[cur]
+    p2c = p2w @ ms.kf_rot[cand].T + ms.kf_t[cand]
+
+    res = ransac.ransac_sim3(key, p1c, p2c, valid,
+                             fix_scale=fix_scale, threshold=0.1)
+    s0 = res.model[0]
+    r0 = res.model[1:10].reshape(3, 3)
+    t0 = res.model[10:13]
+    s, rot, t, inl = PG.optimize_sim3_pair(
+        s0, r0, t0, p1c, p2c, res.inliers, fix_scale=fix_scale)
+    n_proj = _count_projection_matches.__wrapped__(ms, cur, cand, s, rot, t,
+                                                   cfg)
+    scalars = jnp.stack([res.n_inliers.astype(jnp.int32),
+                         jnp.sum(inl).astype(jnp.int32), n_proj])
+    return scalars, s, rot, t
+
+
 def detect_step(vocab, db, ms: M.MapState, kf_slot, prev_groups, prev_counts,
                 min_score: float, n_best: int = 3):
     """One-dispatch per-KF place recognition + temporal-consistency update.
@@ -252,16 +290,14 @@ class LoopCloser:
         """Geometric verification + correction for a consistency-matured
         candidate (the rare, expensive tail of NewDetectCommonRegions →
         CorrectLoop). Returns (ms, loop_found)."""
-        ok, s, rot, t, n_inl = self._verify_sim3(ms, kf_slot_i, best)
+        ok, s, rot, t, n_inl, n_proj = self._verify_sim3(ms, kf_slot_i, best)
         if not ok:
             return ms, False
 
         # guided-projection verification (FindMatchesByProjection :969): the
         # verified Sim3 must re-find the candidate's map points when they are
-        # projected into the current KF.
-        n_proj = int(_count_projection_matches(
-            ms, jnp.int32(kf_slot_i), jnp.int32(best), s, rot, t,
-            self._map_cfg))
+        # projected into the current KF (computed inside the fused verify
+        # dispatch; gated here).
         if n_proj < self.cfg.min_proj_verify:
             return ms, False
 
@@ -330,38 +366,25 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _verify_sim3(self, ms: M.MapState, cur: int, cand: int):
-        """Match map points of the two KFs, Sim3 RANSAC + refinement.
+        """Match map points of the two KFs, Sim3 RANSAC + refinement +
+        guided-projection count — as ONE jitted dispatch and ONE scalar-tile
+        read. The previous eager per-op version paid hundreds of small
+        compiles (~0.4 s each on this 1-core host, none persisted because
+        they compile in <1 s) plus a ~48 ms tunnel round trip per blocking
+        read, turning every matured loop candidate into a multi-second
+        stall — the round-3 bench's "compile-wall frames".
 
-        Returns (ok, s, R, t) with (s,R,t) mapping cur-KF camera coords to
-        cand-KF camera coords (the relative Sim3 Scm of the reference).
+        Returns (ok, s, R, t, n_inl, n_proj) with (s,R,t) mapping cur-KF
+        camera coords to cand-KF camera coords (the Scm of the reference).
         """
         self.key, k = jax.random.split(self.key)
-        m_idx, m_dist = matching.match_descriptors(
-            ms.kf_desc[cur], ms.kf_kp_valid[cur] & (ms.kf_obs_mp[cur] >= 0),
-            ms.kf_desc[cand], ms.kf_kp_valid[cand] & (ms.kf_obs_mp[cand] >= 0),
-            max_dist=matching.TH_LOW, ratio=0.85, mutual=True)
-
-        mp1 = ms.kf_obs_mp[cur]
-        mp2 = ms.kf_obs_mp[cand][jnp.maximum(m_idx, 0)]
-        valid = (m_idx >= 0) & (mp1 >= 0) & (mp2 >= 0)
-        p1w = ms.mp_pos[jnp.maximum(mp1, 0)]
-        p2w = ms.mp_pos[jnp.maximum(mp2, 0)]
-        # to camera coords of each KF (Sim3Solver works in camera frames)
-        p1c = p1w @ ms.kf_rot[cur].T + ms.kf_t[cur]
-        p2c = p2w @ ms.kf_rot[cand].T + ms.kf_t[cand]
-
-        res = ransac.ransac_sim3(k, p1c, p2c, valid,
-                                 fix_scale=self.cfg.fix_scale, threshold=0.1)
-        if int(res.n_inliers) < self.cfg.min_sim3_inliers:
-            return False, None, None, None, 0
-        s0 = res.model[0]
-        r0 = res.model[1:10].reshape(3, 3)
-        t0 = res.model[10:13]
-        s, rot, t, inl = PG.optimize_sim3_pair(
-            s0, r0, t0, p1c, p2c, res.inliers, fix_scale=self.cfg.fix_scale)
-        if int(jnp.sum(inl)) < self.cfg.min_sim3_inliers:
-            return False, None, None, None, 0
-        return True, s, rot, t, int(jnp.sum(inl))
+        scalars, s, rot, t = _verify_sim3_fused(
+            ms, jnp.int32(cur), jnp.int32(cand), k,
+            self.cfg.fix_scale, self._map_cfg)
+        n_ransac, n_opt, n_proj = (int(x) for x in np.asarray(scalars))
+        ok = (n_ransac >= self.cfg.min_sim3_inliers
+              and n_opt >= self.cfg.min_sim3_inliers)
+        return ok, s, rot, t, n_opt, n_proj
 
     def _correct_loop(self, ms: M.MapState, cur: int, cand: int, s, rot, t,
                       yaw_only: bool = False):

@@ -217,6 +217,7 @@ class SlamSystem:
             lambda g: build_frame(g, None, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
         self._pending_init_frame = None   # mono init: (frame, time)
         self._init_key = jax.random.PRNGKey(1234)
+        self._reloc_jit = None   # fused relocalization dispatch (lazy-built)
         self._odom_vel = None
         self._odom_queue = []
         self._icp_prior = None
@@ -1148,62 +1149,29 @@ class SlamSystem:
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Tracking::Relocalization (src/Tracking.cc:4537): BoW candidate
-        retrieval -> descriptor matching against the candidate KF's map
-        points -> PnP RANSAC -> pose-only GN."""
+        retrieval -> descriptor matching + GMS -> PnP RANSAC -> MLPnP GN ->
+        pose-only GN, over the top-3 candidates — all as ONE jitted dispatch
+        with ONE scalar read. Relocalization runs EVERY frame while
+        RECENTLY_LOST; the previous eager per-op version cost dozens of
+        ~48 ms tunnel round trips (plus first-time compile storms) per
+        attempt, which is what held the hard-mode lost segments to 0.2 FPS."""
         if self.loop_closer is None:
             return False
-        from geoflowslam_tpu.retrieval import vocab as Vv
-        from geoflowslam_tpu.retrieval import kf_database as DBD
-        from geoflowslam_tpu.ops import matching as MATCH
-        from geoflowslam_tpu.ops import ransac as RS
-
-        feat = frame.feat
-        words = Vv.descend(self.vocab, feat.desc, feat.valid)
-        qvec = Vv.bow_vector(self.vocab, words)
-        idx, score, ok = DBD.detect_relocalization_candidates(
-            self.loop_closer.db, self.ms, qvec, n_best=3)
-        for c in range(3):
-            if not bool(ok[c]):
-                continue
-            kf = int(idx[c])
-            m_idx, _ = MATCH.match_descriptors(
-                feat.desc, feat.valid,
-                self.ms.kf_desc[kf],
-                self.ms.kf_kp_valid[kf] & (self.ms.kf_obs_mp[kf] >= 0),
-                max_dist=MATCH.TH_LOW, ratio=0.85, mutual=True)
-            # GMS grid-motion-statistics filter on the candidate matches
-            # (SearchWithGMS in relocalization, src/ORBmatcher.cc:744 via
-            # src/Tracking.cc:4537+): wide-baseline reloc matching is
-            # outlier-heavy and the grid vote prunes before PnP RANSAC.
-            from geoflowslam_tpu.ops.gms import gms_filter
-            size = (self.cfg.frame.orb.width, self.cfg.frame.orb.height)
-            m_idx = gms_filter(feat.uv, self.ms.kf_uv[kf], m_idx, size, size)
-            mp = self.ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
-            valid = (m_idx >= 0) & (mp >= 0) & self.ms.mp_valid[jnp.maximum(mp, 0)]
-            if int(jnp.sum(valid)) < 15:
-                continue
-            pts = self.ms.mp_pos[jnp.maximum(mp, 0)]
-            uvn = (feat.uv - jnp.array([self.cfg.cx, self.cfg.cy])) \
-                / jnp.array([self.cfg.fx, self.cfg.fy])
-            self._init_key, k = jax.random.split(self._init_key)
-            res = RS.ransac_pnp(k, pts, uvn, valid, threshold_px=5.99,
-                                focal=self.cfg.fx)
-            if int(res.n_inliers) < 10:
-                continue
-            # ML bearing-vector refinement of the RANSAC hypothesis
-            # (MLPnPsolver::mlpnp_gn parity, src/Tracking.cc:4586-4593)
-            rot0, t0 = RS.refine_pnp_ml(
-                res.model[:, :3], res.model[:, 3], pts, uvn, res.inliers)
-            obs_mp = jnp.where(valid, mp, M.NO_MP)
-            rot, t, obs2, n_inl = T._pose_opt_from_obs(
-                self.ms, frame, obs_mp, rot0, t0, self.tcfg)
-            if int(n_inl) >= self.cfg.min_inliers_ok:
-                self.cur_rot, self.cur_t = rot, t
-                self.last_obs_mp = obs2
-                if self.imu is not None:
-                    self.imu.body = self.imu.body_from_cam(rot, t)
-                    self.imu.pending = None
-                return True
+        if self._reloc_jit is None:
+            self._reloc_jit = _build_reloc_jit(
+                self.vocab, self.tcfg,
+                self.cfg.frame.orb.width, self.cfg.frame.orb.height,
+                self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
+        self._init_key, k = jax.random.split(self._init_key)
+        n_inl, rot, t, obs2 = self._reloc_jit(
+            self.loop_closer.db, self.ms, frame, k)
+        if int(n_inl) >= self.cfg.min_inliers_ok:
+            self.cur_rot, self.cur_t = rot, t
+            self.last_obs_mp = obs2
+            if self.imu is not None:
+                self.imu.body = self.imu.body_from_cam(rot, t)
+                self.imu.pending = None
+            return True
         return False
 
     def set_odom(self, vel, odom_frame: bool = True):
@@ -2130,3 +2098,62 @@ class SlamSystem:
             "n_maps": int(self.ms.n_maps),
             "state": self.state.name,
         }
+
+
+def _build_reloc_jit(vocab, tcfg, w: int, h: int, fx, fy, cx, cy):
+    """Build the ONE-dispatch relocalization program (Tracking::
+    Relocalization, /root/reference/src/Tracking.cc:4537): BoW descent +
+    candidate retrieval + per-candidate (descriptor match -> GMS -> PnP
+    RANSAC -> MLPnP GN refine -> pose-only GN), vmapped over the top-3
+    candidates, best-by-inliers selected ON DEVICE. The host reads one
+    scalar to accept/reject.
+
+    The vocabulary is closed over (constant-folded into the program, as the
+    loop-closer's detect dispatch does)."""
+    from geoflowslam_tpu.retrieval import vocab as Vv
+    from geoflowslam_tpu.retrieval import kf_database as DBD
+    from geoflowslam_tpu.ops import matching as MATCH
+    from geoflowslam_tpu.ops import ransac as RS
+    from geoflowslam_tpu.ops.gms import gms_filter
+
+    @jax.jit
+    def reloc(db, ms, frame, key):
+        feat = frame.feat
+        words = Vv.descend(vocab, feat.desc, feat.valid)
+        qvec = Vv.bow_vector(vocab, words)
+        idx, _score, ok = DBD.detect_relocalization_candidates(
+            db, ms, qvec, n_best=3)
+        uvn = (feat.uv - jnp.array([cx, cy])) / jnp.array([fx, fy])
+        keys = jax.random.split(key, 3)
+
+        def try_cand(kf, okc, k):
+            m_idx, _ = MATCH.match_descriptors(
+                feat.desc, feat.valid, ms.kf_desc[kf],
+                ms.kf_kp_valid[kf] & (ms.kf_obs_mp[kf] >= 0),
+                max_dist=MATCH.TH_LOW, ratio=0.85, mutual=True)
+            # GMS grid-motion-statistics prune (SearchWithGMS,
+            # src/ORBmatcher.cc:744): wide-baseline reloc matches are
+            # outlier-heavy; the grid vote prunes before PnP RANSAC.
+            m_idx = gms_filter(feat.uv, ms.kf_uv[kf], m_idx, (w, h), (w, h))
+            mp = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
+            valid = (m_idx >= 0) & (mp >= 0) \
+                & ms.mp_valid[jnp.maximum(mp, 0)] & okc
+            n_valid = jnp.sum(valid)
+            pts = ms.mp_pos[jnp.maximum(mp, 0)]
+            res = RS.ransac_pnp(k, pts, uvn, valid, threshold_px=5.99,
+                                focal=fx)
+            # ML bearing-vector refinement of the RANSAC hypothesis
+            # (MLPnPsolver::mlpnp_gn parity, src/Tracking.cc:4586-4593)
+            rot0, t0 = RS.refine_pnp_ml(
+                res.model[:, :3], res.model[:, 3], pts, uvn, res.inliers)
+            obs_mp = jnp.where(valid, mp, M.NO_MP)
+            rot, t, obs2, n_inl = T._pose_opt_from_obs(
+                ms, frame, obs_mp, rot0, t0, tcfg)
+            gate = okc & (n_valid >= 15) & (res.n_inliers >= 10)
+            return jnp.where(gate, n_inl, 0), rot, t, obs2
+
+        n_inls, rots, ts, obs2s = jax.vmap(try_cand)(idx, ok, keys)
+        b = jnp.argmax(n_inls)
+        return n_inls[b], rots[b], ts[b], obs2s[b]
+
+    return reloc

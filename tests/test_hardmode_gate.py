@@ -34,9 +34,15 @@ ATE_GATE = {
     "rgbd": 3.5, "rgbd_loop": 3.5,
     "rgbd_inertial": 0.40, "rgbd_inertial_loop": 0.10,
     "mono": 0.40, "mono_loop": 0.15,
+    # INTERIM: first committed OF/ICP cell (ATE 1.27 m vs 3.08 m plain —
+    # the rescue delta is real but the cell ran at 0.18 FPS because the
+    # then-eager relocalization path compiled per-op on every lost frame;
+    # tighten toward 0.15 m once the post-fused-reloc rerun is committed.
+    "rgbd_of_icp": 1.6, "rgbd_of_icp_loop": 1.6,
 }
 RPE_GATE_M = {
     "rgbd": 0.60, "rgbd_loop": 0.60,   # visual-only: includes reset jumps
+    "rgbd_of_icp": 0.15, "rgbd_of_icp_loop": 0.15,   # interim, see above
 }
 RPE_GATE_DEFAULT_M = 0.05              # local drift, inertial/mono modes
 # No FPS gate on matrix cells: their wall clock includes cold XLA compiles

@@ -150,7 +150,7 @@ class TestLoopConsistency:
         monkeypatch.setattr(
             lc, "_verify_sim3",
             lambda ms_, cur, cand: calls.append((cur, cand)) or
-            (False, None, None, None, 0))
+            (False, None, None, None, 0, 0))
         ms, _ = lc.on_keyframe(ms, 0)      # registers the target
         ms, f1 = lc.on_keyframe(ms, 5)     # detection #1 -> no verify yet
         assert not f1 and calls == []

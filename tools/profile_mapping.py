@@ -1,0 +1,166 @@
+"""Profile the per-KF mapping megastep and its sub-stages on the real chip.
+
+Round-3 verdict weak #2: per-KF mapping cost grew 724 -> 1567 ms over 55 KFs
+at k=128/m=32k, and the production-scale bench (k=256/m=65536) shows ~5-10 s
+of device time per KF event. This tool times each sub-stage of
+`local_mapping.mapping_step` at a configurable map shape/occupancy so the
+O(K*M) / scatter-bound term can be identified and fixed.
+
+Usage:  python tools/profile_mapping.py [--k 256] [--m 65536] [--kfs 30]
+        [--mps 1500] [--reps 5]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/root/.cache/jax_bench_cache", exist_ok=True)
+
+
+def sync(x):
+    """Genuine device sync: read one element (block_until_ready is a no-op
+    on the axon tunnel)."""
+    leaf = None
+    import jax
+    for l in jax.tree_util.tree_leaves(x):
+        leaf = l
+        break
+    _ = np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def timeit(name, fn, reps):
+    out = fn()          # compile
+    sync(out)
+    t0 = time.perf_counter()
+    c0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    dt = (time.perf_counter() - t0) / reps * 1000
+    print(f"  {name:34s} {dt:9.2f} ms")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--m", type=int, default=65536)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--kfs", type=int, default=30)
+    ap.add_argument("--mps", type=int, default=1500)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from geoflowslam_tpu.state import map_state as M
+    from geoflowslam_tpu.pipeline import local_mapping as LM
+    from geoflowslam_tpu.pipeline import tracking as T
+
+    print(f"device: {jax.devices()[0]}, shape k={args.k} m={args.m} "
+          f"n={args.n}, occupancy {args.kfs} KFs / {args.mps} MPs",
+          file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    ms = M.create(k_max=args.k, n_kp=args.n, m_max=args.m)
+    K, N, Mm = args.k, args.n, args.m
+    nk, nm = args.kfs, args.mps
+
+    kf_valid = np.zeros((K,), bool); kf_valid[:nk] = True
+    mp_valid = np.zeros((Mm,), bool); mp_valid[:nm] = True
+    # each KF observes ~60% of its kps, bound to random live MPs
+    obs = np.full((K, N), -1, np.int32)
+    kpv = np.zeros((K, N), bool)
+    for k in range(nk):
+        sel = rng.random(N) < 0.6
+        obs[k, sel] = rng.integers(0, nm, sel.sum())
+        kpv[k] = True
+    ms = ms._replace(
+        kf_valid=jnp.asarray(kf_valid),
+        kf_map_id=jnp.where(jnp.asarray(kf_valid), 0, -1),
+        kf_prev=jnp.asarray(np.concatenate([[-1], np.arange(K - 1)])
+                            .astype(np.int32)),
+        kf_time=jnp.asarray(np.arange(K) * 0.5, jnp.float32),
+        kf_uv=jnp.asarray(rng.uniform(0, 640, (K, N, 2)), jnp.float32),
+        kf_level=jnp.asarray(rng.integers(0, 8, (K, N)), jnp.int32),
+        kf_desc=jnp.asarray(rng.integers(0, 2**32, (K, N, 8), np.uint32,
+                                         endpoint=False)),
+        kf_depth=jnp.asarray(rng.uniform(0.5, 5.0, (K, N)), jnp.float32),
+        kf_kp_valid=jnp.asarray(kpv),
+        kf_obs_mp=jnp.asarray(obs),
+        mp_pos=jnp.asarray(rng.normal(0, 2, (Mm, 3)), jnp.float32),
+        mp_valid=jnp.asarray(mp_valid),
+        mp_desc=jnp.asarray(rng.integers(0, 2**32, (Mm, 8), np.uint32,
+                                         endpoint=False)),
+        mp_map_id=jnp.where(jnp.asarray(mp_valid), 0, -1),
+        mp_found=jnp.asarray(np.full(Mm, 3.0), jnp.float32),
+        mp_visible=jnp.asarray(np.full(Mm, 4.0), jnp.float32),
+        mp_first_kf=jnp.asarray(rng.integers(0, nk, Mm), jnp.int32),
+        mp_birth_seq=jnp.zeros((Mm,), jnp.int32),
+        kf_counter=jnp.asarray(nk, jnp.int32),
+    )
+    center = jnp.asarray(nk - 1, jnp.int32)
+    cfg = LM.MappingConfig()
+
+    reps = args.reps
+    print("sub-stages:")
+    inc_f = jax.jit(M.observation_incidence)
+    timeit("observation_incidence [K,M]", lambda: inc_f(ms), reps)
+    cov_f = jax.jit(M.covisibility)
+    timeit("covisibility [K,K]", lambda: cov_f(ms), reps)
+    lw_f = jax.jit(lambda ms, c: M.local_window(ms, c, 10, 2048))
+    timeit("local_window", lambda: lw_f(ms, center), reps)
+    cull_f = jax.jit(M.cull_map_points)
+    timeit("cull_map_points", lambda: cull_f(ms), reps)
+    timeit("fuse_duplicates (5 nb)",
+           lambda: LM.fuse_duplicates(ms, center, cfg), reps)
+    timeit("refresh_point_stats",
+           lambda: LM.refresh_point_stats(ms, center), reps)
+    timeit("keyframe_culling",
+           lambda: LM.keyframe_culling(ms, center), reps)
+    timeit("local_ba_step (extract+GN+wb)",
+           lambda: LM.local_ba_step(ms, center, cfg), reps)
+
+    # full visual mapping_step (use_vi=False to avoid fabricating IMU segs)
+    tcfg = T.TrackConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0, bf=40.0)
+    kw = 12
+    frame_uv = ms.kf_uv[center]
+    fd = None
+    try:
+        from geoflowslam_tpu.state.frame import FrameData
+        fd = FrameData(
+            gray=jnp.zeros((480, 640), jnp.float32),
+            uv=frame_uv, level=ms.kf_level[center],
+            angle=ms.kf_angle[center], desc=ms.kf_desc[center],
+            kp_valid=ms.kf_kp_valid[center], depth=ms.kf_depth[center],
+            pyramid=None, cloud=None, cloud_valid=None)
+    except Exception as e:
+        print(f"  (mapping_step skipped: FrameData mismatch {e})")
+    if fd is not None:
+        slots_p = jnp.asarray(np.arange(kw, dtype=np.int32))
+        sv = jnp.asarray(np.ones(kw, bool))
+        segs = None
+        try:
+            timeit("mapping_step (visual, ONE dispatch)",
+                   lambda: LM.mapping_step(
+                       ms, fd, ms.kf_rot[center], ms.kf_t[center],
+                       jnp.float32(10.0), ms.kf_obs_mp[center], center,
+                       jnp.asarray(nk, jnp.int32), jnp.zeros(3), jnp.zeros(6),
+                       slots_p, sv, segs, None, None, None, None,
+                       tcfg, cfg, kw, False), reps)
+        except Exception as e:
+            print(f"  (mapping_step direct call failed: {e})")
+
+
+if __name__ == "__main__":
+    main()
