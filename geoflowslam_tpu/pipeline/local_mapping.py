@@ -54,19 +54,20 @@ def _inv_sigma2(levels, scale_factor):
 # BA window extraction / write-back
 # ---------------------------------------------------------------------------
 
-def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig):
+def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig,
+                   incidence=None):
     """Pick the optimized window (top covisible KFs of center) + fixed ring.
 
     Returns (kf_idx [KW], kf_in_window [KW] bool, kf_fixed [KW] bool)."""
     kw = cfg.window_opt + cfg.window_fixed
-    cov = M.covisibility(ms)
+    inc = M.observation_incidence(ms) if incidence is None else incidence
+    cov = M.covisibility(ms, incidence=inc)
     row = cov[center_kf] * ms.kf_valid * (ms.kf_map_id == ms.active_map)
     row = row.at[center_kf].set(1 << 20)  # center always first
     vals, idx = jax.lax.top_k(row, cfg.window_opt)
     opt_mask_k = jnp.zeros((ms.k_max,), bool).at[idx].set(vals > 0)
 
     # fixed ring: KFs covisible with the window but not in it
-    inc = M.observation_incidence(ms)
     window_mps = (jnp.einsum("k,km->m", opt_mask_k.astype(jnp.float32), inc) > 0)
     sees_window = (jnp.einsum("km,m->k", inc, window_mps.astype(jnp.float32)) > 0)
     ring = sees_window & ~opt_mask_k & ms.kf_valid
@@ -91,15 +92,24 @@ def _select_window(ms: M.MapState, center_kf, cfg: MappingConfig):
 
 
 def extract_ba_problem(ms: M.MapState, kf_idx, in_win, fixed,
-                       cfg: MappingConfig):
+                       cfg: MappingConfig, incidence=None):
     """Build a dense BAProblem for the given KF slots. Returns
     (problem, mp_idx, ctx) where ctx carries the scatter indices needed by
-    `writeback_ba`."""
+    `writeback_ba`.
+
+    The landmark score (observation count over the optimized window) is a
+    direct [KW,N] -> [M] scatter from the window KFs' observation lists —
+    O(KW*N), not the O(K*M) full-incidence einsum (`incidence` kept for
+    signature compatibility; unused)."""
+    del incidence
     kw = kf_idx.shape[0]
-    inc = M.observation_incidence(ms)
-    opt_sel = (in_win & ~fixed).astype(jnp.float32)
-    w_opt = jnp.zeros((ms.k_max,)).at[kf_idx].add(opt_sel)
-    mp_score = jnp.einsum("k,km->m", w_opt, inc) * ms.mp_valid
+    opt_sel = in_win & ~fixed                          # [KW]
+    obs_w = ms.kf_obs_mp[kf_idx]                       # [KW, N]
+    ov = (obs_w >= 0) & ms.kf_kp_valid[kf_idx] \
+        & ms.kf_valid[kf_idx][:, None] & opt_sel[:, None]
+    mp_score = jnp.zeros((ms.m_max + 1,)).at[
+        jnp.where(ov, obs_w, ms.m_max).reshape(-1)].add(
+        1.0, mode="drop")[:ms.m_max] * ms.mp_valid
     mvals, mp_idx = jax.lax.top_k(mp_score, cfg.ba_max_pts)
     mp_in = mvals > 0
     lookup = jnp.full((ms.m_max + 1,), -1, jnp.int32)
@@ -155,10 +165,13 @@ def writeback_ba(ms: M.MapState, out, obs_inl, kf_idx, in_win, fixed,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig):
+def local_ba_step(ms: M.MapState, center_kf, cfg: MappingConfig,
+                  incidence=None):
     """Extract the covisibility window, run Schur BA, write back."""
-    kf_idx, in_win, fixed = _select_window(ms, center_kf, cfg)
-    prob, mp_idx, mp_in, ctx = extract_ba_problem(ms, kf_idx, in_win, fixed, cfg)
+    kf_idx, in_win, fixed = _select_window(ms, center_kf, cfg,
+                                           incidence=incidence)
+    prob, mp_idx, mp_in, ctx = extract_ba_problem(ms, kf_idx, in_win, fixed,
+                                                  cfg, incidence=incidence)
     out, obs_inl = local_ba.local_bundle_adjustment(
         prob, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf)
     ms = writeback_ba(ms, out, obs_inl, kf_idx, in_win, fixed, mp_idx, mp_in, ctx)
@@ -407,6 +420,13 @@ def mapping_step(ms: M.MapState, frame, rot, t, time_rel, obs_mp, ref_kf,
 
     ms, kf_slot, n_new = T.create_keyframe.__wrapped__(
         ms, frame, rot, t, time_rel, obs_mp, ref_kf, tcfg, kf_slot=kf_slot)
+    # The [K,M] incidence scatter is the megastep's dominant repeated cost
+    # at production capacities (6-7 rebuilds ~= 60% of the program): build
+    # it ONCE per map version and thread it through every consumer. The one
+    # KF-cycle staleness this introduces for fuse/cull neighbour SELECTION
+    # is harmless — every decision is still masked by the CURRENT
+    # kf_valid/mp_valid (UpdateConnections in the reference is likewise
+    # refreshed per KF, not per mutation, LocalMapping.cc:89-412).
     if use_vi:
         ms = ms._replace(
             kf_vel=ms.kf_vel.at[kf_slot].set(vel),
@@ -433,16 +453,19 @@ def mapping_step(ms: M.MapState, frame, rot, t, time_rel, obs_mp, ref_kf,
         n_obs = jnp.sum(prob_vis.obs_valid).astype(jnp.int32)
     else:
         ms, n_obs = local_ba_step.__wrapped__(ms, kf_slot, cfg)
-    ms = fuse_duplicates.__wrapped__(ms, kf_slot, cfg)
-    ms = refresh_point_stats.__wrapped__(ms, kf_slot)
-    ms = M.cull_map_points(ms)
-    ms, culled = keyframe_culling.__wrapped__(ms, kf_slot)
+    # post-BA shared tables (outlier-pruned observations): ONE rebuild
+    inc2 = M.observation_incidence(ms)
+    cov2 = M.covisibility(ms, incidence=inc2)
+    ms = fuse_duplicates.__wrapped__(ms, kf_slot, cfg, cov=cov2)
+    ms = refresh_point_stats.__wrapped__(ms, kf_slot, cov=cov2)
+    ms = M.cull_map_points(ms, incidence=inc2)
+    ms, culled = keyframe_culling.__wrapped__(ms, kf_slot, incidence=inc2)
     # refresh the frame's observation bindings (drop culled references)
     obs = ms.kf_obs_mp[kf_slot]
     new_obs = jnp.where(
         (obs >= 0) & ms.mp_valid[jnp.maximum(obs, 0)], obs, M.NO_MP)
     masks = M.local_window(ms, kf_slot, tcfg.local_window,
-                           tcfg.lm_max_candidates)
+                           tcfg.lm_max_candidates, incidence=inc2)
     scalars = jnp.stack([culled, n_obs])
     return (ms, new_obs, masks, ms.kf_rot[kf_slot], ms.kf_t[kf_slot],
             scalars)
@@ -459,7 +482,8 @@ def cull_step(ms: M.MapState) -> M.MapState:
 
 @partial(jax.jit, static_argnames=("redundancy", "min_obs_level"))
 def keyframe_culling(ms: M.MapState, center_kf, protect_recent: float = 1.0,
-                     redundancy: float = 0.9, min_obs_level: int = 3):
+                     redundancy: float = 0.9, min_obs_level: int = 3,
+                     incidence=None):
     """LocalMapping::KeyFrameCulling (/root/reference/src/LocalMapping.cc:1302):
     a local KF is redundant if >= 90% of its map points are observed by at
     least 3 other KFs; the newest KFs (within `protect_recent` seconds of the
@@ -467,7 +491,8 @@ def keyframe_culling(ms: M.MapState, center_kf, protect_recent: float = 1.0,
 
     Returns (ms, culled_slot or -1). Culls at most one KF per call (as the
     reference effectively does per loop iteration)."""
-    inc = M.observation_incidence(ms)                 # [K, M]
+    inc = (M.observation_incidence(ms) if incidence is None
+           else incidence)                            # [K, M]
     n_obs = jnp.sum(inc, axis=0)                      # [M]
     # per KF: fraction of its points with >= min_obs_level total observations
     own = inc > 0
@@ -534,13 +559,17 @@ def _fuse_into(ms: M.MapState, center_kf, kf, enabled, cfg: MappingConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig):
+def fuse_duplicates(ms: M.MapState, center_kf, cfg: MappingConfig,
+                    cov=None):
     """SearchInNeighbors essence: map points of the center KF that project
     onto another point's observation in a neighbour KF with a close
-    descriptor get merged (keep the older slot)."""
+    descriptor get merged (keep the older slot). `cov`: optional
+    precomputed covisibility (neighbour SELECTION only — one KF cycle of
+    staleness is harmless; the merge itself reads current state)."""
     # Project center KF's points into each covisible KF and find keypoints
     # already bound to a different mp with a similar descriptor.
-    cov = M.covisibility(ms)
+    if cov is None:
+        cov = M.covisibility(ms)
     row = cov[center_kf] * ms.kf_valid \
         * (ms.kf_map_id == ms.kf_map_id[center_kf])
     w_nb, nb = jax.lax.top_k(row, 5)
@@ -566,7 +595,8 @@ def fuse_pair(ms: M.MapState, kf_a, kf_b, cfg: MappingConfig):
 
 
 @partial(jax.jit, static_argnames=("n_window",))
-def refresh_point_stats(ms: M.MapState, center_kf, n_window: int = 10):
+def refresh_point_stats(ms: M.MapState, center_kf, n_window: int = 10,
+                        cov=None):
     """MapPoint::ComputeDistinctiveDescriptors + UpdateNormalAndDepth for the
     points observed by the center KF (/root/reference/src/MapPoint.cc): the
     reference refreshes a point's representative descriptor (min median
@@ -580,7 +610,8 @@ def refresh_point_stats(ms: M.MapState, center_kf, n_window: int = 10):
     window covers them in practice since distant KFs rarely still observe)."""
     from geoflowslam_tpu.ops.matching import hamming_matrix
 
-    cov = M.covisibility(ms)
+    if cov is None:
+        cov = M.covisibility(ms)
     row = (cov[center_kf] * ms.kf_valid).at[center_kf].set(1 << 20)
     _, kf_win = jax.lax.top_k(row, min(n_window, ms.k_max))  # center first
 

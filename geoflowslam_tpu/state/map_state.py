@@ -238,16 +238,20 @@ def _bmask(mask, shape):
 
 def observation_incidence(ms: MapState) -> jnp.ndarray:
     """[K, M] float32 incidence: KF k observes MP m. Replaces the cached
-    covisibility adjacency (KeyFrame::UpdateConnections)."""
+    covisibility adjacency (KeyFrame::UpdateConnections).
+
+    Built with an idempotent scatter-MAX (duplicate (k,m) pairs — e.g.
+    after fusion relabels — are safe), which lowers ~25% faster than
+    scatter-add + clamp on TPU for this 256k-update scatter."""
     k, n = ms.kf_obs_mp.shape
     m = ms.m_max
     obs = ms.kf_obs_mp
     valid = (obs >= 0) & ms.kf_kp_valid & ms.kf_valid[:, None]
-    safe = jnp.maximum(obs, 0)
-    inc = jnp.zeros((k, m), jnp.float32)
+    safe = jnp.where(valid, obs, m)          # invalid -> dropped column
+    inc = jnp.zeros((k, m + 1), jnp.float32)
     flat_k = jnp.broadcast_to(jnp.arange(k)[:, None], (k, n)).reshape(-1)
-    inc = inc.at[flat_k, safe.reshape(-1)].add(valid.reshape(-1).astype(jnp.float32))
-    return jnp.minimum(inc, 1.0) * ms.mp_valid[None, :]
+    inc = inc.at[flat_k, safe.reshape(-1)].max(1.0, mode="drop")
+    return inc[:, :m] * ms.mp_valid[None, :]
 
 
 def covisibility(ms: MapState, incidence=None) -> jnp.ndarray:
@@ -264,7 +268,7 @@ def mp_observation_count(ms: MapState, incidence=None) -> jnp.ndarray:
 
 
 def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10,
-                 n_cand: int = 2048):
+                 n_cand: int = 2048, incidence=None):
     """Local-map KF selection: top-k1 covisible + the center
     (Tracking::UpdateLocalKeyFrames, /root/reference/src/Tracking.cc:4397).
     Returns ([K] bool local-KF mask, [M] bool local-MP mask, [n_cand] int32
@@ -273,20 +277,32 @@ def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10,
     The compacted index list is the per-frame tracker's working set: the
     O(M) top_k compaction runs here, ONCE per map mutation (mapping_step /
     loop events), so track_local_map projects and gates only n_cand points
-    per frame instead of all m_max."""
-    cov = covisibility(ms)
+    per frame instead of all m_max.
+
+    `incidence`: optional precomputed [K,M] table — the mapping megastep
+    builds it once and threads it through all consumers (the scatter build
+    is the megastep's dominant repeated cost at production capacities)."""
+    inc = observation_incidence(ms) if incidence is None else incidence
+    cov = covisibility(ms, incidence=inc)
     row = cov[center_kf] * ms.kf_valid * (ms.kf_map_id == ms.active_map)
     _, top = jax.lax.top_k(row, min(k1, ms.k_max))
     kf_mask = jnp.zeros((ms.k_max,), bool).at[top].set(row[top] > 0)
     kf_mask = kf_mask.at[center_kf].set(True)
-    inc = observation_incidence(ms)
     mp_mask = (jnp.einsum("k,km->m", kf_mask.astype(jnp.float32), inc) > 0)
     mp_mask = mp_mask & ms.mp_valid
-    _, cand_idx = jax.lax.top_k(
-        mp_mask.astype(jnp.float32)
-        - 1e-7 * jnp.arange(ms.m_max, dtype=jnp.float32),
-        min(n_cand, ms.m_max))
-    return kf_mask, mp_mask, cand_idx.astype(jnp.int32)
+    # compact the first n_cand set indices via cumsum positions: exact
+    # index order at O(M), vs a top_k whose f32 -1e-7*i tiebreak collides
+    # beyond ~8k entries (f32 eps at 1.0 is 1.2e-7) and costs a full sort
+    nc = min(n_cand, ms.m_max)
+    pos = jnp.cumsum(mp_mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mp_mask & (pos < nc), pos, nc)
+    # filler for unused slots = first UNSET index (consumers re-gate with
+    # mp_mask[cand_idx], so filler must never alias a set point); if every
+    # point is set the filler is never used (n_set >= nc)
+    first_unset = jnp.argmin(mp_mask).astype(jnp.int32)
+    cand_idx = jnp.full((nc + 1,), first_unset, jnp.int32).at[tgt].set(
+        jnp.arange(ms.m_max, dtype=jnp.int32), mode="drop")[:nc]
+    return kf_mask, mp_mask, cand_idx
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +310,7 @@ def local_window(ms: MapState, center_kf: jnp.ndarray, k1: int = 10,
 # ---------------------------------------------------------------------------
 
 def cull_map_points(ms: MapState, min_found_ratio: float = 0.25,
-                    min_obs: int = 2) -> MapState:
+                    min_obs: int = 2, incidence=None) -> MapState:
     """MapPoint culling, reference semantics (LocalMapping::MapPointCulling,
     /root/reference/src/LocalMapping.cc:467): only *recent* points (within
     3 KFs of their birth) are on trial — found-ratio < 0.25 always kills;
@@ -303,7 +319,7 @@ def cull_map_points(ms: MapState, min_found_ratio: float = 0.25,
     pruning / fusion)."""
     age = ms.kf_counter - ms.mp_birth_seq              # in KFs
     recent = age <= 3
-    n_obs = mp_observation_count(ms)
+    n_obs = mp_observation_count(ms, incidence=incidence)
     ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
     bad_ratio = ratio < min_found_ratio
     bad_obs = (age >= 2) & (n_obs < min_obs)

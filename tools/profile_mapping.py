@@ -133,33 +133,33 @@ def main():
 
     # full visual mapping_step (use_vi=False to avoid fabricating IMU segs)
     tcfg = T.TrackConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0, bf=40.0)
-    kw = 12
-    frame_uv = ms.kf_uv[center]
-    fd = None
+    kw = 8
+    from geoflowslam_tpu.state.frame import FrameData
+    from geoflowslam_tpu.ops.extractor import FeatureSet
+    feat = FeatureSet(uv=ms.kf_uv[center], response=jnp.ones((N,)),
+                      angle=ms.kf_angle[center], level=ms.kf_level[center],
+                      desc=ms.kf_desc[center], valid=ms.kf_kp_valid[center])
+    d_kp = ms.kf_depth[center]
+    fd = FrameData(feat=feat, depth_kp=d_kp,
+                   u_right=jnp.where(d_kp > 0,
+                                     ms.kf_uv[center][:, 0] - 40.0 / d_kp,
+                                     -1.0),
+                   cloud=jnp.zeros((4096, 3)),
+                   cloud_valid=jnp.zeros((4096,), bool),
+                   lk_pyramid=(jnp.zeros((480, 640)),))
+    slots_p = jnp.asarray(np.arange(max(nk - kw, 0), max(nk - kw, 0) + kw,
+                                    dtype=np.int32))
+    sv = jnp.asarray(np.ones(kw, bool))
     try:
-        from geoflowslam_tpu.state.frame import FrameData
-        fd = FrameData(
-            gray=jnp.zeros((480, 640), jnp.float32),
-            uv=frame_uv, level=ms.kf_level[center],
-            angle=ms.kf_angle[center], desc=ms.kf_desc[center],
-            kp_valid=ms.kf_kp_valid[center], depth=ms.kf_depth[center],
-            pyramid=None, cloud=None, cloud_valid=None)
+        timeit("mapping_step (visual, ONE dispatch)",
+               lambda: LM.mapping_step(
+                   ms, fd, ms.kf_rot[center], ms.kf_t[center],
+                   jnp.float32(10.0), ms.kf_obs_mp[center], center,
+                   jnp.asarray(nk, jnp.int32), jnp.zeros(3), jnp.zeros(6),
+                   slots_p, sv, None, None, None, None, None,
+                   tcfg, cfg, kw, False), reps)
     except Exception as e:
-        print(f"  (mapping_step skipped: FrameData mismatch {e})")
-    if fd is not None:
-        slots_p = jnp.asarray(np.arange(kw, dtype=np.int32))
-        sv = jnp.asarray(np.ones(kw, bool))
-        segs = None
-        try:
-            timeit("mapping_step (visual, ONE dispatch)",
-                   lambda: LM.mapping_step(
-                       ms, fd, ms.kf_rot[center], ms.kf_t[center],
-                       jnp.float32(10.0), ms.kf_obs_mp[center], center,
-                       jnp.asarray(nk, jnp.int32), jnp.zeros(3), jnp.zeros(6),
-                       slots_p, sv, segs, None, None, None, None,
-                       tcfg, cfg, kw, False), reps)
-        except Exception as e:
-            print(f"  (mapping_step direct call failed: {e})")
+        print(f"  (mapping_step direct call failed: {e})")
 
 
 if __name__ == "__main__":
