@@ -29,7 +29,8 @@ def _load():
     if _checked:
         return _lib
     _checked = True
-    if not os.path.exists(_LIB_PATH):
+    from geoflowslam_tpu.utils.native_build import ensure_native_lib
+    if not ensure_native_lib(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -40,7 +40,8 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib if _lib != 0 else None
-    if not os.path.exists(_LIB_PATH):
+    from geoflowslam_tpu.utils.native_build import ensure_native_lib
+    if not ensure_native_lib(_LIB_PATH):
         _lib = 0
         return None
     try:

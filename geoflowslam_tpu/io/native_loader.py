@@ -24,7 +24,8 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    from geoflowslam_tpu.utils.native_build import ensure_native_lib
+    if not ensure_native_lib(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.gfs_loader_create.restype = ctypes.c_void_p

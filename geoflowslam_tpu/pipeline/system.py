@@ -43,6 +43,17 @@ from geoflowslam_tpu.solvers import pose_opt as PO
 _M12_DUMMY = np.zeros((1, 1), np.float32)
 
 
+@jax.jit
+def _fold_ba_delta(cur_rot, cur_t, old_rot, old_t, new_rot, new_t):
+    """cur ∘ (old⁻¹ ∘ new): fold a BA/GBA pose correction of a reference KF
+    into the newest tracked pose (same right-side world correction the GBA
+    finish applies). One jitted dispatch — eager lie ops each pay a tunnel
+    round trip on this host."""
+    ri, ti = lie.se3_inverse(old_rot, old_t)
+    dr, dt = lie.se3_compose(ri, ti, new_rot, new_t)
+    return lie.se3_compose(cur_rot, cur_t, dr, dt)
+
+
 class TrackingState(enum.Enum):
     NOT_INITIALIZED = 0   # eTrackingState NO_IMAGES_YET/NOT_INITIALIZED
     OK = 1
@@ -730,12 +741,9 @@ class SlamSystem:
                 r_ref_old = self.ms.kf_rot[self.ref_kf]
                 t_ref_old = self.ms.kf_t[self.ref_kf]
                 self.ms = self._gba.finish(self.ms)
-                ri, ti = lie.se3_inverse(r_ref_old, t_ref_old)
-                dr, dt_ = lie.se3_compose(
-                    ri, ti, self.ms.kf_rot[self.ref_kf],
-                    self.ms.kf_t[self.ref_kf])
-                self.cur_rot, self.cur_t = lie.se3_compose(
-                    self.cur_rot, self.cur_t, dr, dt_)
+                self.cur_rot, self.cur_t = _fold_ba_delta(
+                    self.cur_rot, self.cur_t, r_ref_old, t_ref_old,
+                    self.ms.kf_rot[self.ref_kf], self.ms.kf_t[self.ref_kf])
                 self.has_vel = False
                 if imu is not None and imu.body is not None:
                     imu.body = imu.body_from_cam(
@@ -1611,10 +1619,22 @@ class SlamSystem:
             self.tcfg, self.mcfg, kw, use_vi)
         ms, new_obs, masks, kf_rot, kf_t, scalars = out
         self.ms = ms
-        self.last_obs_mp = new_obs
         self._local_masks = masks
-        self.cur_rot, self.cur_t = kf_rot, kf_t
-        self.has_vel = False
+        # Continuity across the pipelined KF insert: fold the KF's BA
+        # correction into the NEWEST tracked pose instead of rewinding
+        # tracking to the (pipeline-lag stale) KF pose. Rewinding put the
+        # next dispatches ~0.3-0.5 s behind the camera — their inlier
+        # counts collapsed and every KF insert triggered a staged-recovery
+        # storm of blocking tunnel reads (measured 33 reprocessed frames
+        # per 200 at steady state). The reference likewise applies LBA
+        # corrections to the map while Tracking keeps its own mLastFrame
+        # chain (Tracking.cc:3250). The frame-to-frame velocity is
+        # invariant to this right-side world correction, so the motion
+        # model stays armed; last_obs_mp / _last_levels / last_frame keep
+        # the newest frame's mutually consistent bindings (culled MP
+        # references are masked by mp_valid at every use).
+        self.cur_rot, self.cur_t = _fold_ba_delta(
+            self.cur_rot, self.cur_t, res.rot, res.t, kf_rot, kf_t)
         if (self.cfg.use_lidar and self.lidar_map is not None
                 and frame.cloud is not None):
             # sliding local cloud map insert (LidarMapping.cc:72-80) as one
