@@ -59,7 +59,9 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    from geoflowslam_tpu.utils.compile_log import install
+    clog = install()
 
     from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
                                               HardSyntheticSequence, Camera)
@@ -90,12 +92,14 @@ def main():
                      n_of_slots=256 if args.of else 0,
                      feed_codec="raw" if args.mode == "mono" else "m12")
     imu = ImuConfig() if args.mode == "rgbd_inertial" else None
-    vocab = None
-    loop_cfg = None
-    if args.loop:
-        from geoflowslam_tpu.retrieval.vocab import default_vocabulary
-        vocab = default_vocabulary()
-        loop_cfg = LoopConfig()
+    # the vocabulary (and with it the reloc KF database + the fused
+    # frame-rate recovery path) is ALWAYS loaded — the reference's
+    # KeyFrameDatabase exists regardless of loop closing (System.cc:
+    # mpKeyFrameDatabase feeds Tracking::Relocalization); --loop only
+    # controls the LoopClosing stage
+    from geoflowslam_tpu.retrieval.vocab import default_vocabulary
+    vocab = default_vocabulary()
+    loop_cfg = LoopConfig() if args.loop else None
     extra = {}
     if args.pkt_interval is not None:
         extra["pkt_read_interval"] = args.pkt_interval
@@ -255,20 +259,39 @@ def main():
     st = slam.map_stats()
     m = ate_rmse(slam.trajectory, gt, with_scale=(args.mode == "mono"))
     r = rpe(slam.trajectory, gt)
-    # per-KF cost flatness: late-half mean vs early-half mean
-    if len(kf_costs) >= 8:
-        half = len(kf_costs) // 2
-        early = np.mean([c for _, c in kf_costs[1:half]])
-        late = np.mean([c for _, c in kf_costs[half:]])
+    # per-KF mapping cost flatness: late-half mean vs early-half mean of the
+    # New_KF stage timer (the mapping megastep's host dispatch wall — the
+    # same instrument as LocalMapTimeStats.txt), NOT the KF-frame's total
+    # wall time: that conflated queue-blocked waits + compile storms with
+    # mapping cost and disagreed with LocalMapTimeStats by 65x (round-4
+    # VERDICT weak #4). Compile events are itemized separately below.
+    kf_ms = slam.timers.samples.get("New_KF", [])
+    if len(kf_ms) >= 8:
+        half = len(kf_ms) // 2
+        early = float(np.mean(kf_ms[1:half])) / 1000.0
+        late = float(np.mean(kf_ms[half:])) / 1000.0
     else:
         early = late = float("nan")
+    # KF-event frame wall time (the old instrument, kept under its true
+    # name: includes pipeline drains and any compile walls)
+    if len(kf_costs) >= 8:
+        halfw = len(kf_costs) // 2
+        wall_early = float(np.mean([c for _, c in kf_costs[1:halfw]]))
+        wall_late = float(np.mean([c for _, c in kf_costs[halfw:]]))
+    else:
+        wall_early = wall_late = float("nan")
+    comp = clog.since(t_start)
     print(f"{args.frames} frames in {wall:.1f}s ({args.frames/wall:.1f} FPS)")
     print(f"map: {st} | loops: "
-          f"{slam.loop_closer.n_loops if slam.loop_closer else 0}")
+          f"{slam.loop_closer.n_loops if slam.loop_closer else 0} | merges: "
+          f"{slam.loop_closer.n_merges if slam.loop_closer else 0} | "
+          f"kf_stall_warnings: {slam.kf_stall_warnings}")
     print(f"ATE rmse {m['ate_rmse']*100:.2f} cm | RPE {r['rpe_trans']*100:.2f}"
           f" cm / {r['rpe_rot_deg']:.3f} deg")
-    print(f"per-KF cost: early {early*1000:.1f} ms, late {late*1000:.1f} ms "
-          f"(flat = no O(K) growth)")
+    print(f"per-KF mapping cost (New_KF): early {early*1000:.1f} ms, late "
+          f"{late*1000:.1f} ms (flat = no O(K) growth); KF-frame wall: "
+          f"early {wall_early*1000:.0f} ms, late {wall_late*1000:.0f} ms; "
+          f"compiles in run: {comp['n']} ({comp['sec']:.0f}s)")
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "frames_diag.jsonl"), "w") as f:
         for row in diag:
@@ -282,11 +305,21 @@ def main():
     slam.shutdown(args.out)
     with open(os.path.join(args.out, "hardmode.json"), "w") as f:
         json.dump({"mode": args.mode, "frames": args.frames,
-                   "of": args.of, "icp": args.icp,
+                   "of": args.of, "icp": args.icp, "loop": args.loop,
                    "ate_rmse_m": m["ate_rmse"], "rpe_trans_m": r["rpe_trans"],
                    "rpe_rot_deg": r["rpe_rot_deg"], "map": st,
                    "kf_cost_early_ms": early * 1000,
-                   "kf_cost_late_ms": late * 1000, "fps": args.frames / wall},
+                   "kf_cost_late_ms": late * 1000,
+                   "kf_wall_early_ms": wall_early * 1000,
+                   "kf_wall_late_ms": wall_late * 1000,
+                   "compiles": comp,
+                   "loops": (slam.loop_closer.n_loops
+                             if slam.loop_closer else 0),
+                   "merges": (slam.loop_closer.n_merges
+                              if slam.loop_closer else 0),
+                   "kf_stall_warnings": slam.kf_stall_warnings,
+                   "n_lost": slam.n_lost,
+                   "fps": args.frames / wall},
                   f, indent=1)
 
 

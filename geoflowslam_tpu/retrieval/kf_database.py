@@ -86,9 +86,12 @@ def detect_candidates(db: KFDatabase, ms: M.MapState, query_vec: jnp.ndarray,
 
 def detect_relocalization_candidates(db: KFDatabase, ms: M.MapState,
                                      query_vec: jnp.ndarray, n_best: int = 5):
-    """Relocalization candidates: best-scoring valid KFs, no exclusions
-    (DetectRelocalizationCandidates)."""
+    """Relocalization candidates: best-scoring valid KFs of the ACTIVE map
+    (DetectRelocalizationCandidates takes the active Map* and filters to it,
+    /root/reference/src/KeyFrameDatabase.cc — cross-map healing is the
+    merge path's job, LoopClosing::MergeLocal)."""
     scores = V.l1_score(db.bow, query_vec[None, :])
-    s = jnp.where(db.valid & ms.kf_valid, scores, -1.0)
+    active = ms.kf_map_id == ms.active_map
+    s = jnp.where(db.valid & ms.kf_valid & active, scores, -1.0)
     vals, idx = jax.lax.top_k(s, n_best)
     return idx, vals, vals > 0.0

@@ -40,6 +40,76 @@ def test_vocab_checksum_gate(tmp_path):
         S.load_atlas(p + ".npz", vocab=v2)
 
 
+@pytest.mark.slow
+def test_session_continue_roundtrip(tmp_path):
+    """save_session/load_session CONTINUES tracking mid-stream: a restored
+    session must track the same upcoming frames as the uninterrupted one
+    (the reference's LoadAtlas cannot do this — System.cc:2102 starts a new
+    active map and must relocalize)."""
+    from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
+                                              SyntheticSequence, Camera)
+    from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig
+    from geoflowslam_tpu.pipeline.loop_closing import LoopConfig
+    from geoflowslam_tpu.state.frame import FrameConfig
+    from geoflowslam_tpu.ops.extractor import OrbConfig
+    from geoflowslam_tpu.retrieval.vocab import default_vocabulary
+
+    w, h = 320, 240
+    cam = Camera(fx=200.0, fy=200.0, cx=w / 2, cy=h / 2, width=w, height=h)
+    orb = OrbConfig(n_features=400, n_levels=4, height=h, width=w)
+    fc = FrameConfig(orb=orb, lk_levels=3, cloud_stride=8,
+                     cloud_max_pts=1024, bf=20.0)
+    imu = ImuConfig(init_min_kfs=4, init_min_time=0.5)
+    vocab = default_vocabulary()
+    cfg = SystemConfig(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, bf=20.0,
+                       frame=fc, k_max=24, m_max=4096, imu=imu,
+                       loop=LoopConfig())
+    world = SyntheticWorld(cam)
+    seq = SyntheticSequence(world, fps=10.0)
+
+    def drive(slam, i0, i1, last_t):
+        for i in range(i0, i1):
+            t = i / seq.fps
+            gray, depth, _ = seq.frame(t)
+            if i == 0:
+                slam.track_rgbd(gray, depth, t)
+            else:
+                acc, gyro, dts = seq.imu_between(
+                    last_t, t, cfg.imu.max_samples_per_frame)
+                slam.track_rgbd_inertial(gray, depth, acc, gyro, dts, t)
+            last_t = t
+        return last_t
+
+    slam = SlamSystem(cfg, vocab=vocab)
+    last_t = drive(slam, 0, 35, 0.0)
+    assert slam.imu.initialized
+    p = str(tmp_path / "session")
+    slam.save_session(p)
+    st_saved = slam.map_stats()
+
+    # continue the original
+    drive(slam, 35, 55, last_t)
+    pose_a = slam.current_pose_wc()
+    st_a = slam.map_stats()
+
+    # restore into a FRESH system and continue over the same frames
+    slam2 = SlamSystem(cfg, vocab=vocab)
+    slam2.load_session(p)
+    st2 = slam2.map_stats()
+    assert st2["n_kfs"] == st_saved["n_kfs"]
+    assert st2["n_mps"] == st_saved["n_mps"]
+    assert st2["state"] == st_saved["state"] == "OK"
+    assert slam2.imu.initialized
+    drive(slam2, 35, 55, last_t)
+    pose_b = slam2.current_pose_wc()
+    st_b = slam2.map_stats()
+    assert st_b["state"] == "OK", st_b
+    # both continuations track the same world: poses agree to centimeters
+    np.testing.assert_allclose(pose_b[:3, 3], pose_a[:3, 3], atol=0.05)
+    assert abs(st_b["n_kfs"] - st_a["n_kfs"]) <= 2, (st_a, st_b)
+
+
 def test_timers_outputs(tmp_path):
     t = StageTimers()
     for i in range(5):

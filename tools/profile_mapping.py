@@ -161,6 +161,52 @@ def main():
     except Exception as e:
         print(f"  (mapping_step direct call failed: {e})")
 
+    # ---- the VI megastep — the variant bench.py actually runs per KF
+    # (round-4 VERDICT weak #3: the visual-only profile missed the path
+    # that was slow). Real preintegrated segments (200 Hz gravity-noise
+    # samples through InertialTracker.on_keyframe, exactly the bench's
+    # machinery) + EdgeICP RelPoseFactors + the per-KF loop-detect
+    # dispatch, at the same map shape/occupancy. --------------------------
+    from geoflowslam_tpu.pipeline.inertial import ImuConfig, InertialTracker
+    from geoflowslam_tpu.solvers.inertial_ba import RelPoseFactors
+
+    imu = InertialTracker(ImuConfig())
+    n_s = 100      # 0.5 s KF gap at 200 Hz
+    for slot in range(nk):
+        acc = rng.normal(0, 0.05, (n_s, 3)).astype(np.float32)
+        acc[:, 2] += 9.81   # gravity-aligned stationary-ish segment
+        gyr = rng.normal(0, 0.01, (n_s, 3)).astype(np.float32)
+        dts = np.full((n_s,), 1.0 / 200.0, np.float32)
+        imu._chunks = [(acc, gyr, dts, None)]
+        imu.on_keyframe(slot)
+    segs = imu.build_segments([int(s) for s in np.asarray(slots_p)])
+    walk = np.asarray(imu.walk_info, np.float32)
+    icp = RelPoseFactors(
+        rot=jnp.broadcast_to(jnp.eye(3), (kw - 1, 3, 3)),
+        t=jnp.zeros((kw - 1, 3)),
+        info=jnp.full((kw - 1,), 1e2, jnp.float32))
+    try:
+        timeit("mapping_step (VI+EdgeICP, kw=8)",
+               lambda: LM.mapping_step(
+                   ms, fd, ms.kf_rot[center], ms.kf_t[center],
+                   jnp.float32(10.0), ms.kf_obs_mp[center], center,
+                   jnp.asarray(nk, jnp.int32), jnp.zeros(3), jnp.zeros(6),
+                   slots_p, sv, segs, imu.r_cb, imu.t_cb, walk, icp,
+                   tcfg, cfg, kw, True), reps)
+    except Exception as e:
+        print(f"  (VI mapping_step failed: {e})")
+
+    # per-KF place-recognition dispatch (LoopCloser.begin_detect — in the
+    # bench's measured loop since loop closing is ON)
+    try:
+        from geoflowslam_tpu.pipeline.loop_closing import LoopCloser
+        from geoflowslam_tpu.retrieval.vocab import default_vocabulary
+        lc = LoopCloser(default_vocabulary(), K)
+        timeit("loop detect_step (per-KF dispatch)",
+               lambda: lc.begin_detect(ms, int(center)), reps)
+    except Exception as e:
+        print(f"  (loop detect_step failed: {e})")
+
 
 if __name__ == "__main__":
     main()
