@@ -57,13 +57,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/root/.cache/jax_bench_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_bench_cache")
-    # persist even fast compiles: at ~30 programs per cold run the traced
-    # compile time dominates the budget, not the disk
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    from geoflowslam_tpu.utils.compile_log import install
+    from geoflowslam_tpu.utils.compile_log import (install,
+                                                   enable_persistent_cache)
+    enable_persistent_cache()
     clog = install()
 
     dev = jax.devices()[0]

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--features", type=int, default=1000)
     ap.add_argument("--out", default="results_hard")
+    ap.add_argument("--print-every", type=int, default=100,
+                    help="progress/timing print cadence (frames)")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closing with the bundled vocabulary")
     ap.add_argument("--viewer", action="store_true",
@@ -57,10 +59,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    from geoflowslam_tpu.utils.compile_log import install
+    from geoflowslam_tpu.utils.compile_log import (install,
+                                                   enable_persistent_cache)
+    enable_persistent_cache()
     clog = install()
 
     from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
@@ -188,15 +189,23 @@ def main():
         print(f"pre-render cache hit: {cpath} "
               f"({time.time()-t0r:.1f}s)", file=sys.stderr)
     else:
-        frames_h = []
-        for i in range(args.frames):
-            c = np.float32(contrast_schedule(ts_all[i], seq.period))
-            if args.mode == "mono":
-                frames_h.append(
-                    np.asarray(render_gray(rot_cw_a[i], t_cw_a[i], c)))
-            else:
-                frames_h.append(
-                    np.asarray(render_packed(rot_cw_a[i], t_cw_a[i], c)))
+        # BATCHED on the accelerator (a vmapped render of 32 poses per
+        # dispatch turns ~0.2 s-per-frame tunnel round trips into a few
+        # dozen bulk reads — same fix as bench.py's pre-render)
+        c_all = np.asarray([contrast_schedule(ts_all[i], seq.period)
+                            for i in range(args.frames)], np.float32)
+        fn = render_gray if args.mode == "mono" else render_packed
+        render_batch = jax.jit(jax.vmap(fn.__wrapped__))
+        B = 32
+        chunks = []
+        for i in range(0, args.frames, B):
+            j = min(i + B, args.frames)
+            pad = B - (j - i)
+            r = np.concatenate([rot_cw_a[i:j]] + [rot_cw_a[j - 1:j]] * pad)
+            t = np.concatenate([t_cw_a[i:j]] + [t_cw_a[j - 1:j]] * pad)
+            c = np.concatenate([c_all[i:j]] + [c_all[j - 1:j]] * pad)
+            chunks.append(np.asarray(render_batch(r, t, c))[:j - i])
+        frames_h = list(np.concatenate(chunks))
         np.save(cpath + ".tmp.npy", np.stack(frames_h))
         os.replace(cpath + ".tmp.npy", cpath)
         print(f"pre-render {args.frames} frames: {time.time()-t0r:.1f}s "
@@ -211,6 +220,7 @@ def main():
     diag = []
     prev_state = None
     t_start = time.time()
+    t_last_print = t_start
     for i in range(args.frames):
         ts = ts_all[i]
         t_abs = args.t0 + ts              # epoch stamp fed to the system
@@ -250,10 +260,23 @@ def main():
         twc[:3, :3] = rot_wc_a[i]
         twc[:3, 3] = p_a[i]
         gt.append((t_abs, twc))
-        if i % 200 == 0:
+        if i % args.print_every == 0:
             st = slam.map_stats()
+            recent = [d[1] for d in diag[-args.print_every:]]
+            cw = [e for e in clog.events if e[0] >= t_last_print]
+            t_last_print = time.time()
             print(f"frame {i}: {st} ({i/max(time.time()-t_start,1e-9):.1f} "
-                  "fps cum)", file=sys.stderr)
+                  f"fps cum; last {len(recent)}: mean "
+                  f"{1000*np.mean(recent):.0f} ms, median "
+                  f"{1000*np.median(recent):.0f} ms, max "
+                  f"{1000*np.max(recent):.0f} ms; carried_streak="
+                  f"{slam._carried_streak}, n_lost={slam.n_lost}; "
+                  f"compiles {len(cw)} ({sum(e[1] for e in cw):.0f}s)",
+                  file=sys.stderr)
+            for e in sorted(cw, key=lambda e: -e[1])[:3]:
+                if e[1] >= 5.0:
+                    print(f"    compile {e[1]:.0f}s: {e[2][:100]}",
+                          file=sys.stderr)
 
     wall = time.time() - t_start
     st = slam.map_stats()

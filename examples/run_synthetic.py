@@ -29,6 +29,8 @@ def main():
     args = ap.parse_args()
 
     import jax.numpy as jnp
+    from geoflowslam_tpu.utils.compile_log import enable_persistent_cache
+    enable_persistent_cache()
     from geoflowslam_tpu.io.synthetic import (SyntheticWorld,
                                               SyntheticSequence, Camera)
     from geoflowslam_tpu.pipeline.system import SlamSystem, SystemConfig

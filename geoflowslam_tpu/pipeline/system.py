@@ -802,6 +802,21 @@ class SlamSystem:
                 self.lost_since = None
                 self._carried_streak += 1
                 self.frames_since_kf += 1
+                # The reference returns from TrackWithMotionModelICP into
+                # the NORMAL flow: NeedNewKeyFrame still runs and RGB-D KF
+                # insertion creates close points from depth
+                # (Tracking.cc:3576-3623 -> :3856 -> CreateNewKeyFrame).
+                # Without this the map stops at the loss point, the
+                # local-map tracker can never re-acquire, and the system
+                # freezes "OK" over a decaying map (the round-4
+                # rgbd_of_icp_loop stall: KFs stuck at 3 for 400+ frames).
+                # Cadence KFs (0.5 s, the IMU-sensor rule) from the carried
+                # pose, no visual bindings (the carried obs are stale).
+                if timestamp - self._last_kf_time >= 0.5:
+                    no_obs = jnp.full((self.ms.n_kp,), M.NO_MP, jnp.int32)
+                    self._insert_keyframe_fused(
+                        out.frame, timestamp,
+                        T.TrackResult(out.rot, out.t, no_obs, np.int32(0)))
                 self._kf_watchdog(timestamp)
                 twc = np.eye(4)
                 twc[:3, :4] = np.asarray(twc34, np.float64)

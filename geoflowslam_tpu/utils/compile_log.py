@@ -21,9 +21,14 @@ class CompileLog(logging.Handler):
     def __init__(self):
         super().__init__()
         self.events = []    # (wall_time, seconds, message)
+        self.cache_notes = []   # persistent-cache hit/miss-explain lines
 
     def emit(self, record):
         msg = record.getMessage()
+        if ("Persistent compilation cache" in msg
+                or "PERSISTENT CACHE MISS" in msg):
+            self.cache_notes.append(msg[:400])
+            return
         # only actual backend compiles (tracing/lowering events are logged
         # too, thousands of them)
         if "XLA compilation" not in msg:
@@ -46,10 +51,37 @@ class CompileLog(logging.Handler):
         return {"n": len(ev), "sec": round(sum(e[1] for e in ev), 1)}
 
 
-def install() -> CompileLog:
-    """Enable compile logging, mute the stderr spam, return the capture."""
+CACHE_DIR = "/root/.cache/jax_bench_cache"
+
+
+def enable_persistent_cache(cache_dir: str = CACHE_DIR):
+    """Point XLA's persistent compile cache at the shared on-disk dir.
+
+    Every entry point (drivers, bench, tools) must call this BEFORE the
+    first jit dispatch: the axon tunnel compiles big programs in 10-80 s
+    but loads a cached executable in <4 s, and the cache is keyed on the
+    serialized HLO (deterministic across processes — verified by running
+    the full hard-mode frame_step twice in separate processes: 44/44
+    hits, 79.6 s compile -> 3.5 s load). A storm on a warm cache means
+    the traced program itself changed (a source edit), not a cache bug.
+    """
+    import os
+    import jax
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # persist even fast compiles: at ~100 programs per cold run the traced
+    # compile time dominates the budget, not the disk
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+
+def install(explain_misses: bool = False) -> CompileLog:
+    """Enable compile logging, mute the stderr spam, return the capture.
+    explain_misses=True additionally captures the persistent-cache
+    hit/miss-explanation lines into CompileLog.cache_notes."""
     import jax
     jax.config.update("jax_log_compiles", True)
+    if explain_misses:
+        jax.config.update("jax_explain_cache_misses", True)
     clog = CompileLog()
     jlog = logging.getLogger("jax")
     jlog.handlers[:] = [clog]   # replace jax's stderr handler: per-op trace
