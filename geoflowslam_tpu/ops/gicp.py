@@ -31,10 +31,33 @@ class RegistrationResult(NamedTuple):
     converged: jnp.ndarray  # [] bool
 
 
+def _inv_sym3(m: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form inverse of a batch of symmetric 3x3 matrices [P,3,3]
+    (adjugate / det) — jnp.linalg.inv lowers to a per-matrix LU loop on
+    TPU; this is pure vectorized arithmetic on the VPU."""
+    a, b, c = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    d, e = m[:, 1, 1], m[:, 1, 2]
+    f = m[:, 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    rows = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=1),
+        jnp.stack([co01, co11, co12], axis=1),
+        jnp.stack([co02, co12, co22], axis=1),
+    ], axis=1)
+    return rows * inv_det[:, None, None]
+
+
 def gicp_register(src: jnp.ndarray, src_valid: jnp.ndarray,
                   tgt: jnp.ndarray, tgt_valid: jnp.ndarray,
                   init_rot=None, init_t=None,
-                  max_corr_dist: float = 0.1, iters: int = 20,
+                  max_corr_dist: float = 0.1, iters: int = 10,
                   k_cov: int = 10) -> RegistrationResult:
     """Generalized ICP (plane-to-plane): covariance-weighted GN.
 
@@ -60,7 +83,7 @@ def gicp_register(src: jnp.ndarray, src_valid: jnp.ndarray,
         # GICP information: W = (C_t + R C_s R^T)^-1
         rcs = jnp.einsum("ij,pjk,lk->pil", rot, cov_s, rot)
         w_inv = cov_t[nn] + rcs + 1e-6 * jnp.eye(3, dtype=dtype)
-        w = jnp.linalg.inv(w_inv) * matched[:, None, None].astype(dtype)
+        w = _inv_sym3(w_inv) * matched[:, None, None].astype(dtype)
 
         # d(r)/d(xi), left-mult update on (R, t): [I | -hat(ps)]
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (src.shape[0], 3, 3))

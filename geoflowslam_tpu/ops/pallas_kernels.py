@@ -330,6 +330,152 @@ def search_by_projection_pallas(uv_proj, level_pred, valid_proj, desc_q_pm1,
     return best, second, idx
 
 
+# ---------------------------------------------------------------------------
+# Pyramidal Lucas-Kanade: one level, all points, all GN iterations in-kernel
+# ---------------------------------------------------------------------------
+
+_LK_B = 8     # points per grid cell (unrolled)
+
+
+def _lk_level_kernel(pts_ref, guess_ref, imgp_ref, imgn_ref, out_ref, *,
+                     win, iters, min_eig, pad, h, w):
+    """One grid cell tracks _LK_B points through `iters` GN iterations.
+
+    Both (pre-padded) level images are VMEM-resident; every patch access is
+    a dynamic slice FROM VMEM — the XLA formulation's per-iteration HBM
+    block-gather (the measured 21.5 ms/iteration at N=1256) becomes on-chip
+    traffic. Out rows: (x, y, ok, err)."""
+    hp = h + 2 * pad
+    wp_img = imgp_ref.shape[1]
+    r = win // 2
+    _RB = 32               # row-aligned load height (patch + 7-row shift)
+    _LB = min(256, wp_img)  # lane-aligned load width (patch + 127-lane shift)
+
+    def _load_blend(img_ref, x, y, fx, fy, n_out):
+        """Bilinear [n_out, n_out] patch at float position implied by
+        (integer corner x,y = top-left of the n_out+1 span; fractions
+        fx,fy). Mosaic constrains dynamic starts to tile multiples
+        (sublane 8, lane 128), so the load is tile-aligned and the
+        residual (row, col) shifts PLUS the fractional bilinear blend fold
+        into two one-hot band matmuls on the MXU:
+            out = Wr(ro, fy) @ block @ Wc(co, fx).
+        """
+        # align-last so Mosaic can statically prove the tile multiples
+        # (divisibility does not propagate through clip)
+        y_al = (jnp.clip(y, 0, hp - _RB) // 8) * 8
+        x_al = (jnp.clip(x, 0, wp_img - _LB) // 128) * 128
+        # residual shifts, clamped so border-clamped loads still select a
+        # real band (out-of-image points produce finite garbage and fail
+        # the status gates, as in the XLA fallback)
+        ro = jnp.clip(y - y_al, 0, _RB - n_out - 1)
+        co = jnp.clip(x - x_al, 0, _LB - n_out - 1)
+        block = img_ref[pl.ds(y_al, _RB), pl.ds(x_al, _LB)]   # [32, _LB]
+        i = jax.lax.broadcasted_iota(jnp.int32, (n_out, _RB), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n_out, _RB), 1)
+        wr = ((j == i + ro).astype(jnp.float32) * (1.0 - fy)
+              + (j == i + ro + 1).astype(jnp.float32) * fy)
+        jc = jax.lax.broadcasted_iota(jnp.int32, (_LB, n_out), 0)
+        kc = jax.lax.broadcasted_iota(jnp.int32, (_LB, n_out), 1)
+        wc = ((jc == kc + co).astype(jnp.float32) * (1.0 - fx)
+              + (jc == kc + co + 1).astype(jnp.float32) * fx)
+        tmp = jax.lax.dot_general(block, wc, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(wr, tmp, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    rows = []
+    for b in range(_LK_B):
+        px = pts_ref[b, 0]
+        py = pts_ref[b, 1]
+        bx_i = jnp.floor(px).astype(jnp.int32)
+        by_i = jnp.floor(py).astype(jnp.int32)
+        fx = px - bx_i.astype(jnp.float32)
+        fy = py - by_i.astype(jnp.float32)
+        # template + gradients: bilinear samples at offsets -(r+1)..(r+1)
+        interp = _load_blend(imgp_ref, bx_i - (r + 1) + pad,
+                             by_i - (r + 1) + pad, fx, fy, win + 2)
+        tmpl = interp[1:-1, 1:-1]                               # [win, win]
+        gix = 0.5 * (interp[1:-1, 2:] - interp[1:-1, :-2])
+        giy = 0.5 * (interp[2:, 1:-1] - interp[:-2, 1:-1])
+        gxx = jnp.sum(gix * gix)
+        gxy = jnp.sum(gix * giy)
+        gyy = jnp.sum(giy * giy)
+        det = gxx * gyy - gxy * gxy
+        tr = gxx + gyy
+        eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        good = eig_min / (win * win) > min_eig
+        det_safe = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+
+        def sample_cur(gx, gy):
+            bxc = jnp.floor(gx).astype(jnp.int32)
+            byc = jnp.floor(gy).astype(jnp.int32)
+            fxc = gx - bxc.astype(jnp.float32)
+            fyc = gy - byc.astype(jnp.float32)
+            return _load_blend(imgn_ref, bxc - r + pad, byc - r + pad,
+                               fxc, fyc, win)
+
+        def body(_, g):
+            gx, gy = g
+            di = sample_cur(gx, gy) - tmpl
+            bxs = jnp.sum(di * gix)
+            bys = jnp.sum(di * giy)
+            sx = -(gyy * bxs - gxy * bys) / det_safe
+            sy = -(-gxy * bxs + gxx * bys) / det_safe
+            gx = gx + jnp.where(good, sx, 0.0)
+            gy = gy + jnp.where(good, sy, 0.0)
+            return gx, gy
+
+        g0 = (guess_ref[b, 0], guess_ref[b, 1])
+        gx, gy = jax.lax.fori_loop(0, iters, body, g0)
+        err = jnp.mean(jnp.abs(sample_cur(gx, gy) - tmpl))
+        inb = (gx >= 0) & (gx <= w - 1) & (gy >= 0) & (gy <= h - 1)
+        ok = (good & inb).astype(jnp.float32)
+        rows.append(jnp.stack([gx, gy, ok, err]))
+    out_ref[:] = jnp.stack(rows)                                # [_LK_B, 4]
+
+
+def klt_supported(h: int, w: int, win: int) -> bool:
+    pad = win // 2 + 2
+    wp = (((w + 2 * pad) + 127) // 128) * 128
+    return (h + 2 * pad) * wp * 4 * 2 < 10 * 2 ** 20
+
+
+def lk_level_pallas(img_prev: jnp.ndarray, img_next: jnp.ndarray,
+                    pts: jnp.ndarray, guess: jnp.ndarray,
+                    win: int, iters: int, min_eig: float):
+    """Track all pts one pyramid level (LK GN): returns (pts_out [N,2],
+    ok [N] bool, err [N]). Numerics match ops/klt._track_level (same
+    patch/bilinear formulation, edge-replicated borders)."""
+    h, w = img_prev.shape
+    n = pts.shape[0]
+    pad = win // 2 + 2
+    wp = (((w + 2 * pad) + 127) // 128) * 128
+    imgp = jnp.pad(img_prev, ((pad, pad), (pad, wp - w - pad)), mode="edge")
+    imgn = jnp.pad(img_next, ((pad, pad), (pad, wp - w - pad)), mode="edge")
+    pn = ((n + _LK_B - 1) // _LK_B) * _LK_B
+    pts_p = jnp.pad(pts, ((0, pn - n), (0, 0)))
+    guess_p = jnp.pad(guess, ((0, pn - n), (0, 0)))
+
+    kern = functools.partial(_lk_level_kernel, win=win, iters=iters,
+                             min_eig=float(min_eig), pad=pad, h=h, w=w)
+    out = pl.pallas_call(
+        kern,
+        grid=(pn // _LK_B,),
+        in_specs=[
+            pl.BlockSpec((_LK_B, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LK_B, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole padded prev
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole padded next
+        ],
+        out_specs=pl.BlockSpec((_LK_B, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((pn, 4), jnp.float32),
+    )(pts_p, guess_p, imgp, imgn)
+    return out[:n, :2], out[:n, 2] > 0.5, out[:n, 3]
+
+
 def on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform

@@ -147,6 +147,14 @@ def knn_indices(query: jnp.ndarray, q_valid: jnp.ndarray, target: jnp.ndarray,
         + jnp.sum(target * target, axis=1)[None, :]
     )
     d2 = jnp.where(t_valid[None, :], d2, jnp.inf)
+    if k == 1:
+        # argmin instead of top_k: top_k sorts the [Q,T] matrix (measured
+        # 5.8 ms at 4096^2 on v5e vs ~1 ms for the reduction) and the GICP
+        # inner loop calls this every iteration
+        idx = jnp.argmin(d2, axis=1)[:, None]
+        best = jnp.take_along_axis(d2, idx, axis=1)
+        ok = jnp.isfinite(best) & q_valid[:, None]
+        return idx, best, ok
     neg, idx = jax.lax.top_k(-d2, k)
     ok = jnp.isfinite(-neg) & q_valid[:, None]
     return idx, -neg, ok
@@ -163,14 +171,46 @@ def estimate_covariances(pts: jnp.ndarray, valid: jnp.ndarray, k: int = 10,
     mean = jnp.sum(nb * w[..., None], axis=1) / n
     c = nb - mean[:, None, :]
     cov = jnp.einsum("pk,pki,pkj->pij", w, c, c) / n[..., None]
-    # regularize: replace eigenvalues by [eps, 1, 1] (plane-to-plane GICP)
-    vals, vecs = jnp.linalg.eigh(cov)
-    reg = jnp.stack([jnp.full_like(vals[:, 0], eps),
-                     jnp.ones_like(vals[:, 0]),
-                     jnp.ones_like(vals[:, 0])], axis=1)
-    cov_reg = jnp.einsum("pij,pj,pkj->pik", vecs, reg, vecs)
-    normal = vecs[:, :, 0]                              # smallest-eig direction
+    # regularize: replace eigenvalues by [eps, 1, 1] (plane-to-plane GICP).
+    # With an orthonormal eigenbasis V, V diag(eps,1,1) V^T collapses to
+    # I - (1-eps) n n^T where n is the smallest-eigenvalue eigenvector —
+    # only the NORMAL is needed, so the batched jnp.linalg.eigh (an
+    # iterative QR loop per 3x3 on TPU) is replaced by the closed-form
+    # smallest-eigenvector (trigonometric eigenvalues + cross-product
+    # null vector), fully vectorized on the VPU.
+    normal = smallest_eigvec_sym3(cov)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), cov.shape)
+    cov_reg = eye - (1.0 - eps) * normal[:, :, None] * normal[:, None, :]
     return cov_reg, normal
+
+
+def smallest_eigvec_sym3(a: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue for a batch of symmetric
+    3x3 matrices [N,3,3] — closed form (no iterative eigh):
+    eigenvalues by the trigonometric method, eigenvector as the largest
+    cross product of two columns of (A - lambda_min I). Isotropic /
+    degenerate inputs fall back to +z."""
+    q = jnp.trace(a, axis1=1, axis2=2) / 3.0
+    p1 = a[:, 0, 1] ** 2 + a[:, 0, 2] ** 2 + a[:, 1, 2] ** 2
+    d = jnp.stack([a[:, 0, 0], a[:, 1, 1], a[:, 2, 2]], axis=1)
+    p2 = jnp.sum((d - q[:, None]) ** 2, axis=1) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    b = (a - q[:, None, None] * jnp.eye(3, dtype=a.dtype)) / p[:, None, None]
+    r = jnp.clip(0.5 * jnp.linalg.det(b), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # ascending: lam_min = q + 2 p cos(phi + 2pi/3)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    m = a - lam_min[:, None, None] * jnp.eye(3, dtype=a.dtype)
+    c0, c1, c2 = m[:, :, 0], m[:, :, 1], m[:, :, 2]
+    cands = jnp.stack([jnp.cross(c0, c1), jnp.cross(c0, c2),
+                       jnp.cross(c1, c2)], axis=1)          # [N,3,3]
+    norms = jnp.linalg.norm(cands, axis=2)
+    best = jnp.argmax(norms, axis=1)
+    v = jnp.take_along_axis(cands, best[:, None, None], axis=1)[:, 0]
+    nrm = jnp.linalg.norm(v, axis=1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], a.dtype), v.shape)
+    v = jnp.where(nrm > 1e-12, v / jnp.maximum(nrm, 1e-30), fallback)
+    return v
 
 
 def transform_cloud(rot, t, pts):

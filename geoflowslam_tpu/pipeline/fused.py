@@ -163,7 +163,18 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
                      init_rot=r0, init_t=t0)
         # PredictStateICP accepts only converged registrations with enough
         # inliers (Tracking.cc:3394: result.converged && num_inliers > 200)
-        icp_ok = reg.converged & (reg.n_inliers >= icp_min_inliers)
+        # PLAUSIBILITY bound on the measured frame-to-frame motion: on
+        # degenerate geometry (blank wall -> planar cloud) GICP "converges"
+        # onto whatever the velocity init proposed (in-plane motion is
+        # unobservable), and an unbounded delta learned back into the
+        # motion model compounds exponentially (round-5 hard run: 113 m
+        # ATE from a 100 m/s runaway). The reference never accepts ICP
+        # deltas beyond camera-rate physics either — its predictor feeds a
+        # visually-gated track (Tracking.cc:3394 onward).
+        dt_mag = jnp.linalg.norm(reg.t)
+        dr_cos = 0.5 * (jnp.trace(reg.rot) - 1.0)
+        plaus = (dt_mag < 0.5) & (dr_cos > 0.94)      # <0.5 m, <~20deg/frame
+        icp_ok = reg.converged & (reg.n_inliers >= icp_min_inliers) & plaus
         # T_cw = T_lc^-1 ∘ T_lw
         rri, rti = lie.se3_inverse(reg.rot, reg.t)
         r_icp, t_icp = lie.se3_compose(rri, rti, cur_rot, cur_t)
@@ -177,11 +188,12 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     # (warm persistent-cache hits matter on this host).
     extra_obs = None
     of_counts = None
+    of_innov = None
     if use_of and last_frame is not None and n_of_slots > 0:
         from geoflowslam_tpu.pipeline import of_tracking as OF
         key = jax.random.PRNGKey(
             jnp.asarray(0.0 if seq is None else seq).astype(jnp.int32))
-        frame, extra_obs, n3d, n2d = OF.of_dual_stream.__wrapped__(
+        frame, extra_obs, n3d, n2d, of_innov = OF.of_dual_stream.__wrapped__(
             ms, last_frame, frame, last_obs_mp, pr, pt, key, cfg,
             OF.OFConfig() if ofcfg is None else ofcfg, n_of_slots)
         of_counts = jnp.stack([n3d, n2d]).astype(jnp.int32)
@@ -192,6 +204,18 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     ms2, res2 = T.track_local_map.__wrapped__(
         ms, frame, res.obs_mp, res.rot, res.t, ref_kf, cfg,
         local_masks=local_masks)
+    # Health count with OF-confirmation discount: OF-slot inliers whose
+    # track never moved off its predicted init (innovation < 1 px) are
+    # "confirmations" — self-consistent with ANY prediction on degenerate
+    # texture, they sustained a 20 m/s pose runaway for 150 frames. They
+    # still feed the pose optimizer (real information when the prediction
+    # is right), but tracking HEALTH requires evidence the prediction was
+    # actually tested: descriptor-matched inliers, or OF tracks that moved.
+    if of_innov is not None:
+        confirm = (of_innov < 1.0) & (res2.obs_mp >= 0)
+        n_health = (res2.n_inliers
+                    - jnp.sum(confirm).astype(res2.n_inliers.dtype))
+        res2 = res2._replace(n_inliers=n_health)
 
     # ---- lidar point-to-plane joint refine (PoseLidarVisualOptimization,
     # /root/reference/src/Optimizer.cc:8338-8421: reprojection +
@@ -294,8 +318,18 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     # seconds of blocking reads; the reference rides ICP through texture
     # loss without ever going RECENTLY_LOST).
     carried = icp_held & ~ok_frame
-    rot_f = jnp.where(ok_frame, rot_f, pr)
-    t_f = jnp.where(ok_frame, t_f, pt)
+    # Failure pose: ICP-carried frames ride the registered pose (pr/pt);
+    # IMU-backed frames dead-reckon the preintegrated prediction
+    # (PredictStateIMU, src/Tracking.cc:2480). Visual-only failures HOLD
+    # the last pose instead of advancing the motion model — the reference
+    # relocalizes RECENTLY_LOST frames from the last known pose, it never
+    # integrates an unmeasured velocity (a held motion model walks away
+    # linearly and poisons every wide-radius re-search).
+    dead_reckon = carried | (imu_mode in ("kf", "prior"))
+    pf_r = jnp.where(dead_reckon, pr, cur_rot)
+    pf_t = jnp.where(dead_reckon, pt, cur_t)
+    rot_f = jnp.where(ok_frame, rot_f, pf_r)
+    t_f = jnp.where(ok_frame, t_f, pf_t)
     obs_f = jnp.where(ok_frame, obs_f, last_obs_mp)
     # (fields track_local_map didn't touch are the same tensor; XLA folds
     # select(c, x, x) — only genuinely-updated arrays pay for the gate)
@@ -346,7 +380,11 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
 
         n_r, r_r, t_r, obs_r, cand_r = jax.lax.cond(
             ~ok_frame, _try_reloc, _skip, None)
-        relocd = (~ok_frame) & (n_r >= min_inliers)
+        # acceptance well above the tracking-OK floor: a 40 px wide-radius
+        # re-search at a wrong pose finds chance matches, and a falsely
+        # adopted reloc pose restarts the failure loop from garbage
+        # (Tracking.cc:4660 demands nGood >= 50 for the same reason)
+        relocd = (~ok_frame) & (n_r >= max(min_inliers, 30))
         rot_f = jnp.where(relocd, r_r, rot_f)
         t_f = jnp.where(relocd, t_r, t_f)
         obs_f = jnp.where(relocd, obs_r, obs_f)
@@ -366,6 +404,12 @@ def frame_step(gray, depth, ms: M.MapState, last_obs_mp, last_levels,
     # predicted-only delta) — unless ICP measured the delta (carried)
     nvr = jnp.where(ok_frame | carried, nvr, vel_rot)
     nvt = jnp.where(ok_frame | carried, nvt, vel_t)
+    # velocity runaway backstop: no camera this framework targets moves
+    # 0.5 m between consecutive frames; a learned translation rate beyond
+    # that is a tracking artifact (see the OF-confirmation health gate
+    # above for the root-cause defense), so clamp its magnitude.
+    v_mag = jnp.linalg.norm(nvt)
+    nvt = nvt * jnp.minimum(1.0, 0.5 / jnp.maximum(v_mag, 1e-9))
     if relocd is not None:
         # after a relocalization the frame-to-frame motion is unknown
         # (the reference clears mVelocity): predict-from-same-pose next

@@ -158,6 +158,18 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
     obs_extra = obs_extra.at[slot_idx].set(
         jnp.where(src_ok3, last_obs_mp[order], M.NO_MP))
 
+    # per-slot INNOVATION of the 3D-prior stream: distance between where
+    # the track landed and its init (the map-point projection at the
+    # PREDICTED pose). A track that stayed at its init carries no pose
+    # information beyond the prediction itself — on texture-poor frames
+    # these "confirmations" dominate, and a health gate that counts them
+    # keeps a drifting prediction alive forever (frame_step discounts
+    # them; 2D-stream slots carry no map binding and are marked 1e9).
+    innov3 = jnp.linalg.norm(r3.pts - guess, axis=1)
+    of_innov = jnp.full((cf.capacity,), 1e9, jnp.float32)
+    of_innov = of_innov.at[slot_idx].set(
+        jnp.where(src_ok3, innov3[order], 1e9))
+
     # depth for appended slots: sample the retained depth image at the
     # tracked position (Frame::AddPts, /root/reference/src/Frame.cc:625-674),
     # making OF points full stereo observations instead of mono-only.
@@ -175,4 +187,5 @@ def of_dual_stream(ms: M.MapState, last_frame: FrameData, cur_frame: FrameData,
         cur2 = cur2._replace(
             depth_kp=cur2.depth_kp.at[slot_idx].set(d_of),
             u_right=cur2.u_right.at[slot_idx].set(ur_of))
-    return cur2, obs_extra, jnp.sum(src_ok3), jnp.sum(src_ok2 & any_ok)
+    return (cur2, obs_extra, jnp.sum(src_ok3), jnp.sum(src_ok2 & any_ok),
+            of_innov)

@@ -122,6 +122,19 @@ class SystemConfig:
                                         # the tunnel stream; paced reads
                                         # are free (decision lag <=
                                         # interval + one read)
+    pkt_max_pending: int = 16           # dispatch backpressure: max frames
+                                        # in flight before a synchronous
+                                        # window drain. When device time per
+                                        # frame exceeds the camera period
+                                        # (heavy OF/ICP cells on this chip),
+                                        # an unbounded queue makes every KF
+                                        # decision seconds stale and the
+                                        # tracker runs against an old map —
+                                        # the round-5 async hard runs went
+                                        # ICP-carried at FULL texture from
+                                        # exactly this lag while the same
+                                        # config drained per-frame never
+                                        # lost at all
     record_reproj_err: bool = False     # per-frame reprojection-error dumps
                                         # (SaveFrame2FrameReprojErr parity)
     stereo_fisheye: Optional[StereoFisheyeConfig] = None  # dual-KB8 rig
@@ -638,11 +651,11 @@ class SlamSystem:
         self._pkt_window = out.pkt_window
         self._pkt_kick()
         self._drain_pkt_out()
-        # Backpressure: the ring must never wrap past unprocessed rows. A
-        # read covers up to PKT_WINDOW frames, so this only trips if a
-        # single read takes longer than PKT_WINDOW frames of dispatch.
+        # Backpressure: bound the in-flight frame count (and with it the
+        # ring wrap AND the decision staleness) with a synchronous drain.
         from geoflowslam_tpu.pipeline import fused as FU
-        if len(self._pending_by_seq) > FU.PKT_WINDOW - 8:
+        if len(self._pending_by_seq) > min(self.cfg.pkt_max_pending,
+                                           FU.PKT_WINDOW - 8):
             self._consume_window(np.asarray(self._pkt_window))
         return self._last_pose_wc
 
@@ -676,7 +689,8 @@ class SlamSystem:
         from geoflowslam_tpu.pipeline import fused as FU
         now = _time.monotonic()
         due = (now - self._pkt_last_read_t >= self.cfg.pkt_read_interval
-               or len(self._pending_by_seq) > FU.PKT_WINDOW // 2)
+               or len(self._pending_by_seq)
+               > min(self.cfg.pkt_max_pending, FU.PKT_WINDOW) // 2)
         if not self._pkt_busy and due:
             self._pkt_busy = True
             self._pkt_last_read_t = now
@@ -1189,7 +1203,7 @@ class SlamSystem:
         if self.cfg.use_of and getattr(self, "last_frame", None) is not None:
             from geoflowslam_tpu.pipeline.of_tracking import of_dual_stream, OFConfig
             self._init_key, kof = jax.random.split(self._init_key)
-            frame, extra_obs, n3d, n2d = of_dual_stream(
+            frame, extra_obs, n3d, n2d, _ = of_dual_stream(
                 self.ms, self.last_frame, frame, self.last_obs_mp, pr, pt,
                 kof, self.tcfg, OFConfig(), self.cfg.frame.n_of_slots)
             self.debug_of = (int(n3d), int(n2d))

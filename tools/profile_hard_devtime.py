@@ -49,11 +49,16 @@ def main():
     from geoflowslam_tpu.retrieval.vocab import default_vocabulary
 
     w, h, fps = 640, 480, 30.0
-    cache = f"/root/.cache/gfs_hard_frames/m12_150_{fps:g}_{w}x{h}.npy"
-    if not os.path.exists(cache):
-        print(f"render cache missing ({cache}); run "
-              "examples/run_hardmode.py --frames 150 first", file=sys.stderr)
+    import glob
+    cands = sorted(glob.glob(
+        f"/root/.cache/gfs_hard_frames/m12_*_{fps:g}_{w}x{h}.npy"),
+        key=lambda p: -os.path.getsize(p))
+    if not cands:
+        print("no m12 render cache; run examples/run_hardmode.py first",
+              file=sys.stderr)
         sys.exit(1)
+    cache = cands[0]
+    print(f"frames from {cache}", file=sys.stderr)
     stack = np.load(cache, mmap_mode="r")
     n = min(args.frames + args.warm, stack.shape[0])
 
@@ -106,8 +111,12 @@ def main():
             times.append(dt)
             kf_flags.append(slam.ref_kf != ref0)
         if i % 10 == 0:
+            tn = float(np.linalg.norm(np.asarray(slam.cur_t)))
+            vn = float(np.linalg.norm(np.asarray(slam.vel[1])))
             print(f"  frame {i}: {dt:8.1f} ms  state={slam.state.name} "
-                  f"carried={slam._carried_streak}", file=sys.stderr)
+                  f"carried={slam._carried_streak} n_lost={slam.n_lost} "
+                  f"|t_cw|={tn:.2f} |vel|={vn:.3f}",
+                  file=sys.stderr)
     tt = np.asarray(times)
     kf = np.asarray(kf_flags)
     comp = clog.since(0.0)
