@@ -184,6 +184,24 @@ def estimate_covariances(pts: jnp.ndarray, valid: jnp.ndarray, k: int = 10,
     return cov_reg, normal
 
 
+def sym3_eigvals(a: jnp.ndarray) -> jnp.ndarray:
+    """Ascending eigenvalues [..., 3] of symmetric 3x3 batches — closed
+    form (trigonometric method), no iterative eigh."""
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    p1 = a[..., 0, 1] ** 2 + a[..., 0, 2] ** 2 + a[..., 1, 2] ** 2
+    d = jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1)
+    p2 = jnp.sum((d - q[..., None]) ** 2, axis=-1) + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    b = (a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)) / p[..., None,
+                                                                 None]
+    r = jnp.clip(0.5 * jnp.linalg.det(b), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    return jnp.stack([lam_min, lam_mid, lam_max], axis=-1)
+
+
 def smallest_eigvec_sym3(a: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue for a batch of symmetric
     3x3 matrices [N,3,3] — closed form (no iterative eigh):

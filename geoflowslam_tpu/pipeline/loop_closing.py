@@ -31,6 +31,7 @@ import numpy as np
 
 from geoflowslam_tpu.math import lie
 from geoflowslam_tpu.ops import matching, ransac
+from geoflowslam_tpu.ops import pointcloud as pc
 from geoflowslam_tpu.retrieval import vocab as V
 from geoflowslam_tpu.retrieval import kf_database as DB
 from geoflowslam_tpu.solvers import pose_graph as PG
@@ -143,8 +144,23 @@ def _verify_sim3_fused(ms: M.MapState, cur, cand, key, fix_scale: bool, cfg):
         s0, r0, t0, p1c, p2c, res.inliers, fix_scale=fix_scale)
     n_proj = _count_projection_matches.__wrapped__(ms, cur, cand, s, rot, t,
                                                    cfg)
+    # geometric STRUCTURE of the consensus: the smallest eigenvalue of the
+    # inlier 3D covariance. A flat wall with repetitive texture aliases —
+    # shifted-by-a-texture-period matches are RANSAC-consistent (plane maps
+    # to plane) and even re-project consistently, producing a verified-but-
+    # meters-wrong Sim3 (measured 2 m / 28 deg on the hard loop cells). A
+    # planar consensus cannot disambiguate such shifts, so the host rejects
+    # candidates whose inlier set has no out-of-plane extent.
+    w = inl.astype(p1c.dtype)
+    nw = jnp.maximum(jnp.sum(w), 1.0)
+    mean1 = jnp.sum(p1c * w[:, None], axis=0) / nw
+    c1 = (p1c - mean1) * w[:, None]
+    cov1 = c1.T @ c1 / nw
+    lam = pc.sym3_eigvals(cov1[None])[0]
+    thickness_mm = jnp.sqrt(jnp.maximum(lam[0], 0.0)) * 1e3
     scalars = jnp.stack([res.n_inliers.astype(jnp.int32),
-                         jnp.sum(inl).astype(jnp.int32), n_proj])
+                         jnp.sum(inl).astype(jnp.int32), n_proj,
+                         thickness_mm.astype(jnp.int32)])
     return scalars, s, rot, t
 
 
@@ -216,6 +232,23 @@ class LoopConfig:
     # post-correction duplicate welding + welding BA (SearchAndFuse :2224,
     # MergeLocal welding BA :1307-1894)
     run_weld: bool = True
+    # drift-budget gate for SAME-MAP loop constraints: the correction a
+    # verified Sim3 implies (measured relative pose vs the odometry relative
+    # pose) must be commensurate with plausible accumulated drift. A false
+    # loop between similar-looking places passes every geometric check
+    # (BoW, Sim3 RANSAC, guided projection are all self-consistent on
+    # repetitive/planar structure) but demands a correction far beyond any
+    # real drift — forcing it through the essential graph bent a 4.5 cm
+    # trajectory into a 1.75 m one. Budget = floor + rate * |t_cur - t_cand|
+    # (seconds). Cross-map merges are exempt (fragment offsets are
+    # arbitrary).
+    drift_budget_floor_m: float = 0.30
+    drift_budget_rate: float = 0.02       # m per second of separation
+    drift_budget_floor_deg: float = 5.0
+    drift_budget_rate_deg: float = 0.10   # deg per second of separation
+    # minimum out-of-plane extent (meters) of the Sim3 inlier consensus:
+    # planar consensi are aliasing-prone (see _verify_sim3_fused)
+    min_structure_m: float = 0.05
 
 
 class LoopCloser:
@@ -314,6 +347,40 @@ class LoopCloser:
                 s = jnp.ones(())
 
         same_map = int(ms.kf_map_id[best]) == int(ms.kf_map_id[kf_slot_i])
+        if same_map:
+            # drift-budget gate (see LoopConfig.drift_budget_*): compare the
+            # measured cur-cam -> cand-cam transform against the odometry
+            # relative pose; reject corrections no real drift could explain.
+            import numpy as _np
+            r1 = _np.asarray(ms.kf_rot[kf_slot_i])
+            t1 = _np.asarray(ms.kf_t[kf_slot_i])
+            r2 = _np.asarray(ms.kf_rot[best])
+            t2 = _np.asarray(ms.kf_t[best])
+            r_o = r2 @ r1.T
+            t_o = t2 - r_o @ t1
+            r_m, t_m = _np.asarray(rot), _np.asarray(t)
+            s_m = float(_np.asarray(s))
+            # error transform E = T_meas o T_odom^-1 (meas: p -> sRp + t):
+            # E x = s R_m R_o^T (x - t_o) + t_m
+            r_e = r_m @ r_o.T
+            t_e = t_m - s_m * (r_e @ t_o)
+            dt_sec = abs(float(ms.kf_time[kf_slot_i])
+                         - float(ms.kf_time[best]))
+            budget_t = (self.cfg.drift_budget_floor_m
+                        + self.cfg.drift_budget_rate * dt_sec)
+            budget_r = _np.deg2rad(self.cfg.drift_budget_floor_deg
+                                   + self.cfg.drift_budget_rate_deg * dt_sec)
+            ang = _np.arccos(_np.clip((_np.trace(r_e) - 1) / 2, -1, 1))
+            if (_np.linalg.norm(t_e) > budget_t or ang > budget_r
+                    or abs(_np.log(max(s_m, 1e-9))) > 0.2):
+                from geoflowslam_tpu.utils.verbose import warn
+                warn(f"loop candidate {kf_slot_i}->{best} REJECTED by drift "
+                     f"budget: |t_err|={_np.linalg.norm(t_e):.2f}m "
+                     f"(budget {budget_t:.2f}), rot_err="
+                     f"{_np.rad2deg(ang):.1f}deg (budget "
+                     f"{_np.rad2deg(budget_r):.1f}), s={s_m:.3f}, "
+                     f"dt={dt_sec:.1f}s")
+                return ms, False
         if not same_map:
             # Atlas merge: weld the active map into the candidate's map.
             # The verified Sim3 is camera-frame (p_cand_cam = s R p_cur_cam
@@ -381,9 +448,17 @@ class LoopCloser:
         scalars, s, rot, t = _verify_sim3_fused(
             ms, jnp.int32(cur), jnp.int32(cand), k,
             self.cfg.fix_scale, self._map_cfg)
-        n_ransac, n_opt, n_proj = (int(x) for x in np.asarray(scalars))
+        n_ransac, n_opt, n_proj, thick_mm = (int(x)
+                                             for x in np.asarray(scalars))
         ok = (n_ransac >= self.cfg.min_sim3_inliers
               and n_opt >= self.cfg.min_sim3_inliers)
+        if ok and thick_mm < 1e3 * self.cfg.min_structure_m:
+            from geoflowslam_tpu.utils.verbose import warn
+            warn(f"loop candidate {cur}->{cand} REJECTED: planar consensus "
+                 f"(structure thickness {thick_mm} mm < "
+                 f"{1e3 * self.cfg.min_structure_m:.0f} mm) — aliased "
+                 "wall-to-wall Sim3s are RANSAC-consistent")
+            ok = False
         return ok, s, rot, t, n_opt, n_proj
 
     def _correct_loop(self, ms: M.MapState, cur: int, cand: int, s, rot, t,

@@ -208,6 +208,9 @@ class SlamSystem:
         # /root/reference/src/System.cc:994+): loop/GBA corrections
         # retroactively fix the exported frame trajectory.
         self._traj: list = []
+        self._lost_stamps: set = set()   # frames tracked while (RECENTLY_)
+                                         # LOST: recorded but NOT exported
+                                         # (SaveTrajectoryTUM's mlbLost skip)
         self._kf_gen: dict = {}      # slot -> generation id
         self._gen_counter = 0
         # culled-KF parent chain for trajectory rebasing: (slot, gen) ->
@@ -652,11 +655,26 @@ class SlamSystem:
         self._pkt_kick()
         self._drain_pkt_out()
         # Backpressure: bound the in-flight frame count (and with it the
-        # ring wrap AND the decision staleness) with a synchronous drain.
+        # ring wrap AND the decision staleness) by BLOCKING on the reader
+        # thread's in-flight window read — never by issuing a competing
+        # synchronous read from this thread (back-to-back reads collapse
+        # the tunnel stream ~100x; the paced reader's single read drains
+        # the device up to its kick point, which IS the backpressure).
         from geoflowslam_tpu.pipeline import fused as FU
         if len(self._pending_by_seq) > min(self.cfg.pkt_max_pending,
                                            FU.PKT_WINDOW - 8):
-            self._consume_window(np.asarray(self._pkt_window))
+            import queue as _queue
+            self._pkt_kick()                 # ensure a read is in flight
+            try:
+                win = self._pkt_out.get(timeout=60.0)
+                self._pkt_busy = False
+                if isinstance(win, Exception):
+                    raise win
+                self._consume_window(win)
+                if self._pending_by_seq and not self._pkt_busy:
+                    self._pkt_kick()
+            except _queue.Empty:             # reader wedged: last resort
+                self._consume_window(np.asarray(self._pkt_window))
         return self._last_pose_wc
 
     def _pkt_kick(self):
@@ -877,6 +895,7 @@ class SlamSystem:
                 twc = np.eye(4)
                 twc[:3, :4] = np.asarray(twc34, np.float64)
                 self._traj.append((timestamp, twc))
+                self._lost_stamps.add(round(timestamp, 6))
                 self._last_pose_wc = twc
                 return
             # run the staged recovery on this frame from the CURRENT map
@@ -1621,7 +1640,11 @@ class SlamSystem:
             # prev/validity from the HOST mirror (no device read: the cull
             # scalar arrives lag frames after the mapping dispatch, and a
             # blocking read here would drain the whole device pipeline —
-            # measured as the dominant per-KF cost term on mature maps)
+            # measured as the dominant per-KF cost term on mature maps).
+            # The staged path (mono) reaches this before any fused KF ever
+            # built the mirror — build it on demand.
+            if not hasattr(self, "_kf_valid_h"):
+                self._host_slot_mirror()
             prev = self._kf_prev_h.get(culled_i, -1)
             if 0 <= prev < self.cfg.k_max and self._kf_valid_h[prev]:
                 rel = _culled_rel_pose(self.ms, np.int32(culled_i),
@@ -2118,6 +2141,12 @@ class SlamSystem:
         VIBA re-init map rescaling for mono-inertial — apply retroactively
         to every recorded frame. Falls back to an absolute snapshot before
         the first KF exists."""
+        if self.state in (TrackingState.RECENTLY_LOST, TrackingState.LOST):
+            # the reference does not export lost frames (mlbLost skip in
+            # SaveTrajectoryTUM, /root/reference/src/System.cc): their poses
+            # are dead-reckoned placeholders, and 5 s of IMU
+            # double-integration garbage dominated the hard-cell ATE
+            self._lost_stamps.add(round(timestamp, 6))
         twc = self.current_pose_wc()
         ref = self.ref_kf
         gen = self._kf_gen.get(ref)
@@ -2144,13 +2173,16 @@ class SlamSystem:
         self._flush_pending()
         rich = [e for e in self._traj if len(e) == 5]
         if not rich:
-            return [(e[0], e[1]) for e in self._traj]
+            return [(e[0], e[1]) for e in self._traj
+                    if round(e[0], 6) not in self._lost_stamps]
         kf_rot, kf_t, kf_valid = jax.device_get(
             (self.ms.kf_rot, self.ms.kf_t, self.ms.kf_valid))
         kf_rot = np.asarray(kf_rot, np.float64)
         kf_t = np.asarray(kf_t, np.float64)
         out = []
         for e in self._traj:
+            if round(e[0], 6) in self._lost_stamps:
+                continue
             if len(e) == 2:
                 out.append(e)
                 continue

@@ -129,6 +129,9 @@ def main():
         print(f"  KF frames ({int(kf.sum())}): mean {tt[kf].mean():.1f} ms; "
               f"non-KF: median {np.median(tt[~kf]):.1f} ms")
     print(f"  compiles during run: {comp['n']} ({comp['sec']:.0f}s)")
+    for _, sec, msg in sorted(clog.events, key=lambda e: -e[1])[:12]:
+        if sec >= 2.0:
+            print(f"    compile {sec:6.1f}s: {msg[:110]}")
     big = [m for m in clog.cache_notes
            if "hit" not in m.split(":")[0].lower()]
     print(f"  persistent-cache notes: {len(clog.cache_notes)} "
